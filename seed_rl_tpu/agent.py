@@ -1,0 +1,109 @@
+"""Agent = network + parametric action distribution, as pure functions.
+
+Preserves the reference's agent call contract (SURVEY.md §2.3;
+agents/vtrace/networks.py:74-121): step-mode application on ``[B]`` inputs
+returning ``AgentOutput(action, policy_logits, baseline)`` plus new core
+state, and unroll-mode application on time-major ``[T, B]`` inputs. Unlike
+the reference, sampling takes an explicit PRNG key and training unrolls skip
+sampling entirely (the stored behaviour actions are what losses need).
+
+For stateless networks the unroll folds time into batch (reference
+``batch_apply``, common/utils.py:714-732) so the whole unroll is one batched
+matmul stack on the MXU instead of a sequential scan.
+"""
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from seed_rl_tpu.distributions import ParametricDistribution
+from seed_rl_tpu.types import AgentOutput, EnvOutput
+
+
+def batch_apply(fn, inputs):
+    """Fold leading [T, B] dims into one batch dim, apply, unfold."""
+    leaves = jax.tree.leaves(inputs)
+    t, b = leaves[0].shape[:2]
+    folded = jax.tree.map(
+        lambda x: x.reshape((t * b,) + x.shape[2:]), inputs
+    )
+    out = fn(folded)
+    return jax.tree.map(lambda x: x.reshape((t, b) + x.shape[1:]), out)
+
+
+class PolicyAgent:
+    """Policy-gradient-family agent (V-trace, PPO, SAC actor)."""
+
+    def __init__(self, net, distribution: ParametricDistribution):
+        self.net = net
+        self.distribution = distribution
+
+    def init_params(self, rng, prev_action, env_output: EnvOutput):
+        """Initialize network params from example batch-major inputs."""
+        batch = jax.tree.leaves(env_output.observation)[0].shape[0]
+        core_state = self.net.initial_state(batch)
+        return self.net.init(rng, prev_action, env_output, core_state)
+
+    def initial_state(self, batch_size: int):
+        return self.net.initial_state(batch_size)
+
+    def policy_step(
+        self,
+        params,
+        prev_action,
+        env_output: EnvOutput,
+        core_state,
+        rng,
+        deterministic: bool = False,
+    ) -> Tuple[AgentOutput, Any]:
+        """One inference step on [B] inputs; samples an action."""
+        (policy_params, baseline), core_state = self.net.apply(
+            params, prev_action, env_output, core_state
+        )
+        if deterministic:
+            action = self.distribution.mode(policy_params)
+        else:
+            action = self.distribution.sample(policy_params, rng)
+        return AgentOutput(action, policy_params, baseline), core_state
+
+    def unroll(
+        self, params, prev_actions, env_outputs: EnvOutput, core_state
+    ) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray], Any]:
+        """Training forward over time-major [T, B] inputs (no sampling)."""
+        if getattr(self.net, "stateless", False):
+            out = batch_apply(
+                lambda args: self.net.apply(params, args[0], args[1], ())[0],
+                (prev_actions, env_outputs),
+            )
+            return out, core_state
+
+        def step(state, xs):
+            prev_action, env_output = xs
+            out, state = self.net.apply(
+                params, prev_action, env_output, state
+            )
+            return state, out
+
+        core_state, outs = jax.lax.scan(
+            step, core_state, (prev_actions, env_outputs)
+        )
+        return outs, core_state
+
+    def __call__(
+        self,
+        params,
+        prev_actions,
+        env_outputs,
+        core_state,
+        unroll: bool = False,
+        rng: Optional[jnp.ndarray] = None,
+        is_training: bool = False,
+    ):
+        """Reference-compatible entry point (SURVEY.md §2.3)."""
+        if unroll:
+            return self.unroll(params, prev_actions, env_outputs, core_state)
+        assert rng is not None, "step-mode inference needs a PRNG key"
+        return self.policy_step(
+            params, prev_actions, env_outputs, core_state, rng
+        )
