@@ -1,0 +1,222 @@
+"""Atari network family: conv torso, frame stacking, dueling LSTM DQN.
+
+Capability parity with /root/reference/atari/networks.py:
+- conv stack 32x8s4 / 64x4s2 / 64x3s1 + Dense 512 (networks.py:232-240),
+- torso appends reward + one-hot prev_action to the conv features (:268-276),
+- dueling value/advantage heads with hidden 512, bias-free advantage head,
+  mean-centered advantages (:242-252, 278-289),
+- LSTM(512) core with done-masked reset (:176-218),
+- frame stacking with done masking (:57-173). The reference bit-packs the
+  last 3 uint8 frames into an int32 per pixel to cut gRPC transfer cost; on
+  device there is no wire, so the stacking state is simply the last
+  ``stack_size-1`` uint8 frames carried in the agent state.
+
+Compute dtype is configurable: conv/matmul in bfloat16 hits the MXU at full
+rate; heads and Q-values stay float32.
+"""
+
+from typing import Any, NamedTuple, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from seed_rl_tpu.models.core import lstm_initial_state, reset_state_where_done
+from seed_rl_tpu.types import QAgentOutput
+
+
+class AtariConvTorso(nn.Module):
+    """Nature-DQN conv stack + Dense(512). Input: [B, H, W, C] in [0, 255]."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.dtype) / 255.0
+        for features, kernel, stride in ((32, 8, 4), (64, 4, 2), (64, 3, 1)):
+            x = nn.relu(
+                nn.Conv(
+                    features,
+                    (kernel, kernel),
+                    strides=(stride, stride),
+                    padding="VALID",
+                    dtype=self.dtype,
+                )(x)
+            )
+        x = x.reshape(x.shape[:-3] + (-1,))
+        x = nn.relu(nn.Dense(512, dtype=self.dtype)(x))
+        return x.astype(jnp.float32)
+
+
+def initial_frame_stacking_state(
+    stack_size: int, batch_size: int, frame_shape: Tuple[int, int]
+):
+    """Zero uint8 history of the last stack_size-1 frames."""
+    if stack_size == 1:
+        return ()
+    h, w = frame_shape
+    return jnp.zeros((batch_size, h, w, stack_size - 1), jnp.uint8)
+
+
+def stack_frame(observation, frame_state, done, stack_size: int):
+    """Single-step frame stacking with done-masked history reset.
+
+    Args:
+      observation: uint8[B, H, W, 1] current frame.
+      frame_state: uint8[B, H, W, stack_size-1] previous frames
+        (oldest..newest) or () when stack_size == 1.
+      done: bool[B].
+      stack_size: number of frames in the stack.
+
+    Returns:
+      (stacked uint8[B, H, W, stack_size] oldest..newest, new frame_state).
+    """
+    if stack_size == 1:
+        return observation, ()
+    zero_state = jnp.zeros_like(frame_state)
+    frame_state = reset_state_where_done(done, frame_state, zero_state)
+    stacked = jnp.concatenate([frame_state, observation], axis=-1)
+    return stacked, stacked[..., 1:]
+
+
+class AgentState(NamedTuple):
+    """R2D2 agent state: recurrent core + frame-stacking history."""
+
+    core_state: Any
+    frame_stacking_state: Any
+
+
+class DuelingLSTMDQNNet(nn.Module):
+    """Dueling LSTM DQN (R2D2). Step-level: [B] inputs -> (QAgentOutput, state).
+
+    The greedy action is part of the output; epsilon-greedy exploration is
+    applied by the R2D2 agent wrapper (the reference applies it in the
+    learner's inference fn, agents/r2d2/learner.py:151-177).
+    """
+
+    num_actions: int
+    frame_shape: Tuple[int, int] = (84, 84)
+    stack_size: int = 4
+    lstm_size: int = 512
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def stateless(self) -> bool:
+        return False
+
+    def initial_state(self, batch_size: int) -> AgentState:
+        return AgentState(
+            core_state=lstm_initial_state((self.lstm_size,), batch_size),
+            frame_stacking_state=initial_frame_stacking_state(
+                self.stack_size, batch_size, self.frame_shape
+            ),
+        )
+
+    @nn.compact
+    def __call__(self, prev_action, env_output, agent_state):
+        done = env_output.done
+        stacked, frame_state = stack_frame(
+            env_output.observation,
+            agent_state.frame_stacking_state,
+            done,
+            self.stack_size,
+        )
+        conv_out = AtariConvTorso(dtype=self.dtype)(stacked)
+        torso_out = jnp.concatenate(
+            [
+                conv_out,
+                env_output.reward[..., None],
+                jax.nn.one_hot(prev_action, self.num_actions),
+            ],
+            axis=-1,
+        )
+
+        core_state = reset_state_where_done(
+            done,
+            agent_state.core_state,
+            lstm_initial_state((self.lstm_size,), done.shape[0]),
+        )
+        cell = nn.OptimizedLSTMCell(self.lstm_size, name="lstm")
+        new_core, core_out = cell(core_state[0], torso_out)
+
+        value = nn.Dense(1, name="value_head")(
+            nn.relu(nn.Dense(512, name="hidden_value")(core_out))
+        )
+        advantage = nn.Dense(
+            self.num_actions, use_bias=False, name="advantage_head"
+        )(nn.relu(nn.Dense(512, name="hidden_advantage")(core_out)))
+        advantage = advantage - jnp.mean(advantage, axis=-1, keepdims=True)
+        q_values = value + advantage
+        action = jnp.argmax(q_values, axis=-1).astype(jnp.int32)
+
+        return QAgentOutput(action, q_values), AgentState(
+            core_state=(new_core,), frame_stacking_state=frame_state
+        )
+
+
+class AtariPolicyNet(nn.Module):
+    """Conv (+ optional LSTM) policy/value net for Atari V-trace / PPO.
+
+    Matches the capability of the reference's V-trace Atari setup (conv torso
+    shared with DuelingLSTMDQNNet, policy-logits + baseline heads).
+    """
+
+    parametric_distribution_param_size: int
+    frame_shape: Tuple[int, int] = (84, 84)
+    stack_size: int = 4
+    lstm_size: int = 0  # 0 = feed-forward
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def stateless(self) -> bool:
+        # Frame stacking is stateful, so only stack_size == 1 and no LSTM is
+        # truly stateless.
+        return self.lstm_size == 0 and self.stack_size == 1
+
+    def initial_state(self, batch_size: int):
+        core = (
+            lstm_initial_state((self.lstm_size,), batch_size)
+            if self.lstm_size
+            else ()
+        )
+        return AgentState(
+            core_state=core,
+            frame_stacking_state=initial_frame_stacking_state(
+                self.stack_size, batch_size, self.frame_shape
+            ),
+        )
+
+    @nn.compact
+    def __call__(self, prev_action, env_output, agent_state):
+        del prev_action
+        done = env_output.done
+        if self.stack_size > 1:
+            stacked, frame_state = stack_frame(
+                env_output.observation,
+                agent_state.frame_stacking_state,
+                done,
+                self.stack_size,
+            )
+        else:
+            stacked, frame_state = env_output.observation, ()
+        x = AtariConvTorso(dtype=self.dtype)(stacked)
+
+        if self.lstm_size:
+            core_state = reset_state_where_done(
+                done,
+                agent_state.core_state,
+                lstm_initial_state((self.lstm_size,), done.shape[0]),
+            )
+            cell = nn.OptimizedLSTMCell(self.lstm_size, name="lstm")
+            new_core, x = cell(core_state[0], x)
+            core = (new_core,)
+        else:
+            core = ()
+
+        policy_params = nn.Dense(
+            self.parametric_distribution_param_size, name="policy_logits"
+        )(x)
+        baseline = jnp.squeeze(nn.Dense(1, name="baseline")(x), axis=-1)
+        return (policy_params, baseline), AgentState(
+            core_state=core, frame_stacking_state=frame_state
+        )
