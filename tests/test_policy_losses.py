@@ -1,0 +1,184 @@
+"""Tests for policy losses, constraints and regularizers.
+
+Mirrors reference policy_losses_test.py / constraints_test.py: analytic PG
+gradient checks, PPO clip-mask equivalence with the standard surrogate,
+Lagrange constraint convergence, and regularizer term arithmetic.
+"""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from seed_rl_tpu import distributions as pd
+from seed_rl_tpu.agents.ppo import constraints, policy_losses
+from seed_rl_tpu.agents.ppo.policy_regularizers import KLPolicyRegularizer
+
+
+def test_pg_loss_is_mean_neg_logp_times_adv():
+    loss_obj = policy_losses.pg()
+    params = loss_obj.init_params()
+    T, B = 3, 4
+    rng = np.random.RandomState(0)
+    adv = jnp.asarray(rng.normal(size=(T, B)), jnp.float32)
+    logp = jnp.asarray(rng.normal(size=(T, B)), jnp.float32)
+    loss, _ = loss_obj(params, adv, logp, logp)
+    np.testing.assert_allclose(
+        float(loss), float(jnp.mean(-logp * adv)), rtol=1e-5
+    )
+
+
+def test_ppo_loss_gradient_matches_clipped_surrogate():
+    """The mask formulation must give the same gradients as min(clip)."""
+    eps = 0.2
+    loss_obj = policy_losses.ppo(epsilon=eps)
+    params = loss_obj.init_params()
+    rng = np.random.RandomState(1)
+    T, B = 5, 6
+    adv = jnp.asarray(rng.normal(size=(T, B)), jnp.float32)
+    behaviour_logp = jnp.asarray(rng.normal(size=(T, B)) * 0.3, jnp.float32)
+    target_logp0 = jnp.asarray(rng.normal(size=(T, B)) * 0.3, jnp.float32)
+
+    def mask_form(tlp):
+        loss, _ = loss_obj(params, adv, tlp, behaviour_logp)
+        return loss
+
+    def clip_form(tlp):
+        ratio = jnp.exp(tlp - behaviour_logp)
+        clipped = jnp.clip(ratio, 1 - eps, 1 + eps)
+        return -jnp.mean(jnp.minimum(ratio * adv, clipped * adv))
+
+    g_mask = jax.grad(mask_form)(target_logp0)
+    g_clip = jax.grad(clip_form)(target_logp0)
+    # Gradients agree except where |ratio| sits exactly at a clip boundary
+    # or the asymmetric bound differs; use the mask's own bound convention:
+    # the reference clips at log(1+eps) on both sides, so compare against a
+    # surrogate with the same bounds.
+    def clip_form_sym(tlp):
+        log_ratio = tlp - behaviour_logp
+        ratio = jnp.exp(log_ratio)
+        bound = math.log(1 + eps)
+        clipped = jnp.exp(jnp.clip(log_ratio, -bound, bound))
+        return -jnp.mean(jnp.minimum(ratio * adv, clipped * adv))
+
+    g_clip_sym = jax.grad(clip_form_sym)(target_logp0)
+    np.testing.assert_allclose(
+        np.asarray(g_mask), np.asarray(g_clip_sym), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_awr_transforms_advantages():
+    beta, w_max = 0.5, 20.0
+    loss_obj = policy_losses.awr(beta=beta, w_max=w_max)
+    params = loss_obj.init_params()
+    adv = jnp.array([[0.2], [-0.4]], jnp.float32)
+    logp = jnp.array([[0.1], [0.3]], jnp.float32)
+    loss, _ = loss_obj(params, adv, logp, logp)
+    weights = np.minimum(np.exp(np.asarray(adv) / beta), w_max)
+    want = float(np.mean(-np.asarray(logp) * weights))
+    np.testing.assert_allclose(float(loss), want, rtol=1e-5)
+
+
+def test_vmpo_loss_runs_and_has_temperature_param():
+    loss_obj = policy_losses.vmpo(e_n=0.1)
+    params = loss_obj.init_params()
+    assert "temperature" in params
+    rng = np.random.RandomState(2)
+    adv = jnp.asarray(rng.normal(size=(4, 8)), jnp.float32)
+    logp = jnp.asarray(rng.normal(size=(4, 8)), jnp.float32)
+    loss, logs = loss_obj(params, adv, logp, logp)
+    assert np.isfinite(float(loss))
+    assert "GeneralizedAdvantagePolicyLoss/mpo_kl" in logs
+    g = jax.grad(lambda p: loss_obj(p, adv, logp, logp)[0])(params)
+    assert np.isfinite(float(g["temperature"]["param"]))
+
+
+def test_advantage_preprocessor_top_half_and_positive():
+    prep = policy_losses.AdvantagePreprocessor(only_top_half=True)
+    adv = jnp.array([[1.0, 2.0], [3.0, 4.0]])
+    processed, mask = prep(adv)
+    np.testing.assert_array_equal(np.asarray(mask), [[0, 0], [1, 1]])
+
+    prep2 = policy_losses.AdvantagePreprocessor(only_positive=True)
+    adv2 = jnp.array([[-1.0, 2.0]])
+    _, mask2 = prep2(adv2)
+    np.testing.assert_array_equal(np.asarray(mask2), [[0, 1]])
+
+    prep3 = policy_losses.AdvantagePreprocessor(normalize=True)
+    processed3, _ = prep3(jnp.array([[1.0, 2.0, 3.0, 4.0]]))
+    np.testing.assert_allclose(float(jnp.mean(processed3)), 0.0, atol=1e-6)
+    np.testing.assert_allclose(float(jnp.std(processed3)), 1.0, atol=1e-3)
+
+
+def test_lagrange_coefficient_enforces_inequality():
+    """min (x-3)^2 s.t. x <= 2 — the multiplier must hold x at 2.
+
+    (The reference docstring demo minimizes -x^2, which is unstable once x
+    crosses zero since the multiplier can only push down; a convex objective
+    tests the same mechanism without the knife edge.)
+    """
+    coef = constraints.LagrangeInequalityCoefficient(
+        threshold=2.0, adjustment_speed=1.0
+    )
+    x = jnp.array(0.5)
+    params = {"coef": coef.init_params(), "x": x}
+    tx = optax.adam(0.01)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            return (
+                jnp.square(p["x"] - 3.0)
+                + coef.scale_loss(p["coef"], p["x"])
+                + coef.adjustment_loss(p["coef"], p["x"])
+            )
+
+        grads = jax.grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params["coef"] = coef.postprocess_params(params["coef"])
+        return params, opt_state
+
+    for _ in range(2000):
+        params, opt_state = step(params, opt_state)
+    # Adam with a fixed step oscillates around the equilibrium; average the
+    # tail iterates.
+    xs, alphas = [], []
+    for _ in range(2000):
+        params, opt_state = step(params, opt_state)
+        xs.append(float(params["x"]))
+        alphas.append(float(coef.value(params["coef"])))
+    np.testing.assert_allclose(np.mean(xs), 2.0, atol=0.1)
+    # At equilibrium the multiplier equals the objective gradient 2*(3-x)=2.
+    np.testing.assert_allclose(np.mean(alphas), 2.0, atol=0.3)
+
+
+def test_kl_regularizer_entropy_term():
+    dist = pd.CategoricalDistribution(4)
+    reg = KLPolicyRegularizer(entropy=0.5)
+    params = reg.init_params()
+    T, B = 2, 3
+    logits = jnp.zeros((T, B, 4))
+    per_step, global_loss, logs = reg(params, dist, logits, logits, None)
+    # Uniform: entropy = log 4; per-step loss = 0.5 * -log4.
+    np.testing.assert_allclose(
+        np.asarray(per_step), -0.5 * math.log(4.0), rtol=1e-5
+    )
+    np.testing.assert_allclose(float(global_loss), 0.0, atol=1e-6)
+    np.testing.assert_allclose(
+        float(logs["KLPolicyRegularizer/entropy"]), math.log(4.0), rtol=1e-5
+    )
+
+
+def test_kl_regularizer_kl_terms_zero_for_identical_policies():
+    dist = pd.CategoricalDistribution(3)
+    reg = KLPolicyRegularizer(kl_pi_mu=1.0, kl_mu_pi=1.0)
+    params = reg.init_params()
+    logits = jnp.asarray(
+        np.random.RandomState(0).normal(size=(2, 2, 3)), jnp.float32
+    )
+    per_step, _, _ = reg(params, dist, logits, logits, None)
+    np.testing.assert_allclose(np.asarray(per_step), 0.0, atol=1e-6)
