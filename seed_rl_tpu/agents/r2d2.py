@@ -1,0 +1,464 @@
+"""R2D2: recurrent replay distributed DQN, TPU-native.
+
+Capability parity with /root/reference/agents/r2d2/learner.py:
+- per-env epsilon ladder 0.4^linspace(1, 8, num_training_envs) for training
+  envs and a fixed eval epsilon for dedicated eval envs (ids >=
+  num_training_envs) whose experience is never stored (:120-177, 793-803),
+- burn-in: the stored unroll carries ``burn_in`` overlap steps; the loss
+  re-runs the prefix to warm the recurrent state with stopped gradients
+  (:333-384),
+- sequence double-DQN loss on h-rescaled values with n-step Bellman targets
+  and priorities eta*max|TD| + (1-eta)*mean|TD| (:258-330 via
+  seed_rl_tpu.ops.value_ops),
+- initial priorities computed at rollout time from the behaviour network
+  only (:809-822),
+- prioritized replay with importance-sampling weights, priorities updated
+  after every optimization step (:883-885),
+- target network hard-updated every ``update_target_every_n_step`` (:856),
+- replay-ratio contract: the reference decouples insert/train rates via
+  queues (insertion_batch = batch/replay_ratio, :113-117); the fused design
+  expresses it as ``replay_ratio = train_batches_per_step * batch_size /
+  num_training_envs`` per rollout cycle.
+
+One fused jitted step does rollout → epsilon-greedy → insert → sample →
+burn-in loss → update → priority write-back. A warmup phase (host loop)
+fills the buffer to ``replay_buffer_min_size`` before training starts.
+"""
+
+import dataclasses
+import functools
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from seed_rl_tpu.ops import value_ops
+from seed_rl_tpu.replay import PrioritizedReplay, ReplayState
+from seed_rl_tpu.rollout import RolloutEngine, RolloutState
+from seed_rl_tpu.types import QAgentOutput
+from seed_rl_tpu.utils import episode_stats
+
+
+def training_env_epsilons(num_training_envs: int) -> jnp.ndarray:
+    """eps_i = 0.4 ** linspace(1, 8, n) (reference learner.py:151-158)."""
+    return 0.4 ** jnp.linspace(1.0, 8.0, num_training_envs)
+
+
+class R2D2Agent:
+    """Epsilon-greedy wrapper around a Q-network (DuelingLSTMDQNNet)."""
+
+    def __init__(self, net, epsilons: jnp.ndarray):
+        """``epsilons``: f32[num_envs] per-env exploration rates."""
+        self.net = net
+        self.epsilons = epsilons
+        self.num_actions = net.num_actions
+
+    def init_params(self, rng, prev_action, env_output):
+        batch = prev_action.shape[0]
+        return self.net.init(
+            rng, prev_action, env_output, self.net.initial_state(batch)
+        )
+
+    def initial_state(self, batch_size):
+        return self.net.initial_state(batch_size)
+
+    def policy_step(
+        self, params, prev_action, env_output, core_state, rng,
+        deterministic=False,
+    ) -> Tuple[QAgentOutput, Any]:
+        output, new_state = self.net.apply(
+            params, prev_action, env_output, core_state
+        )
+        if deterministic:
+            return output, new_state
+        rand_rng, pick_rng = jax.random.split(rng)
+        batch = output.action.shape[0]
+        random_actions = jax.random.randint(
+            rand_rng, (batch,), 0, self.num_actions, dtype=jnp.int32
+        )
+        take_random = (
+            jax.random.uniform(pick_rng, (batch,)) < self.epsilons
+        )
+        action = jnp.where(take_random, random_actions, output.action)
+        return QAgentOutput(action, output.q_values), new_state
+
+    def unroll(self, params, prev_actions, env_outputs, core_state):
+        def step(state, xs):
+            prev_action, env_output = xs
+            out, state = self.net.apply(
+                params, prev_action, env_output, state
+            )
+            return state, out
+
+        core_state, outs = jax.lax.scan(
+            step, core_state, (prev_actions, env_outputs)
+        )
+        return outs, core_state
+
+
+@dataclasses.dataclass(frozen=True)
+class R2D2Config:
+    """Defaults = reference flags (agents/r2d2/learner.py:43-92)."""
+
+    discounting: float = 0.997
+    n_steps: int = 5
+    burn_in: int = 40
+    importance_sampling_exponent: float = 0.6
+    priority_exponent: float = 0.9
+    replay_buffer_size: int = 10_000  # unrolls
+    replay_buffer_min_size: int = 500  # unrolls before training starts
+    batch_size: int = 64
+    train_batches_per_step: int = 1
+    update_target_every_n_step: int = 2500
+    eval_epsilon: float = 1e-3
+    num_eval_envs: int = 0
+    value_function_rescaling_epsilon: float = 1e-3
+    num_action_repeats: int = 1
+
+
+class StoredUnroll(NamedTuple):
+    """One replay item, item-major (leaves [T_total, ...] per slot)."""
+
+    agent_state: Any  # core state at the unroll's first timestep
+    prev_actions: jnp.ndarray
+    env_outputs: Any
+    agent_outputs: Any
+
+
+class R2D2TrainState(NamedTuple):
+    params: Any
+    target_params: Any
+    opt_state: Any
+    replay: ReplayState
+    rollout: RolloutState
+    stats: episode_stats.EpisodeStatsState
+    eval_stats: episode_stats.EpisodeStatsState
+    rng: jnp.ndarray
+    step: jnp.ndarray
+
+
+def compute_loss_and_priorities(
+    agent: R2D2Agent,
+    params,
+    target_params,
+    agent_state,
+    prev_actions,
+    env_outputs,
+    agent_outputs,
+    gamma: float,
+    burn_in: int,
+    n_steps: int,
+    eta: float = 0.9,
+    rescaling_eps: float = 1e-3,
+):
+    """Burn-in + double-DQN sequence loss (reference :333-384)."""
+    if burn_in:
+        prefix = jax.tree.map(
+            lambda t: t[:burn_in], (prev_actions, env_outputs)
+        )
+        suffix = jax.tree.map(
+            lambda t: t[burn_in:], (prev_actions, env_outputs)
+        )
+        agent_outputs_suffix = jax.tree.map(
+            lambda t: t[burn_in:], agent_outputs
+        )
+        _, training_state = agent.unroll(params, *prefix, agent_state)
+        training_state = jax.lax.stop_gradient(training_state)
+        _, target_state = agent.unroll(target_params, *prefix, agent_state)
+    else:
+        suffix = (prev_actions, env_outputs)
+        agent_outputs_suffix = agent_outputs
+        training_state = agent_state
+        target_state = agent_state
+
+    training_output, _ = agent.unroll(params, *suffix, training_state)
+    target_output, _ = agent.unroll(target_params, *suffix, target_state)
+    env_outputs_suffix = suffix[1]
+
+    loss, priorities = value_ops.td_loss_and_priorities(
+        training_output.q_values,
+        target_output.q_values,
+        training_output.action,
+        agent_outputs_suffix.action,
+        env_outputs_suffix.reward,
+        env_outputs_suffix.done,
+        gamma=gamma,
+        n_steps=n_steps,
+        eta=eta,
+        rescaling_eps=rescaling_eps,
+    )
+    return loss, priorities
+
+
+class R2D2Learner:
+    def __init__(
+        self,
+        engine: RolloutEngine,
+        agent: R2D2Agent,
+        config: R2D2Config,
+        optimizer: optax.GradientTransformation,
+    ):
+        assert engine.overlap == config.burn_in
+        self.engine = engine
+        self.agent = agent
+        self.config = config
+        self.optimizer = optimizer
+        self.num_envs = engine.env.num_envs
+        self.num_training_envs = self.num_envs - config.num_eval_envs
+        assert self.num_training_envs > 0
+        self.replay = PrioritizedReplay(
+            config.replay_buffer_size, config.importance_sampling_exponent
+        )
+        self._frames_per_step = (
+            engine.unroll_length * self.num_envs * config.num_action_repeats
+        )
+
+    @property
+    def frames_per_step(self):
+        return self._frames_per_step
+
+    def _unroll_to_items(self, unroll) -> StoredUnroll:
+        """Time-major [T, B_train] unroll -> item-major [B_train, T] slice."""
+        n = self.num_training_envs
+        ts = unroll.timesteps
+
+        def to_items(t):
+            return jnp.swapaxes(t[:, :n], 0, 1)
+
+        return StoredUnroll(
+            agent_state=jax.tree.map(lambda t: t[:n], unroll.agent_state),
+            prev_actions=jax.tree.map(to_items, ts.prev_action),
+            env_outputs=jax.tree.map(to_items, ts.env_output),
+            agent_outputs=jax.tree.map(to_items, ts.agent_output),
+        )
+
+    def _initial_priorities(self, items: StoredUnroll):
+        """Behaviour-network-only priorities (reference :809-822)."""
+        config = self.config
+        time_major = jax.tree.map(
+            lambda t: jnp.swapaxes(t, 0, 1),
+            (items.env_outputs, items.agent_outputs),
+        )
+        env_outputs, agent_outputs = time_major
+        suffix = jax.tree.map(
+            lambda t: t[config.burn_in:], (env_outputs, agent_outputs)
+        )
+        env_suffix, agent_suffix = suffix
+        _, priorities = value_ops.td_loss_and_priorities(
+            agent_suffix.q_values,
+            agent_suffix.q_values,
+            agent_suffix.action,
+            agent_suffix.action,
+            env_suffix.reward,
+            env_suffix.done,
+            gamma=config.discounting,
+            n_steps=config.n_steps,
+            rescaling_eps=config.value_function_rescaling_epsilon,
+        )
+        return priorities
+
+    def init(self, rng) -> R2D2TrainState:
+        init_rng, rollout_rng, env_rng, state_rng = jax.random.split(rng, 4)
+        _, env_output = self.engine.env.reset(env_rng)
+        prev_action = jnp.zeros((self.num_envs,), jnp.int32)
+        params = self.agent.init_params(init_rng, prev_action, env_output)
+
+        rollout_state = self.engine.init(params, rollout_rng)
+        # Build a template unroll to size the replay buffer.
+        unroll_shape = jax.eval_shape(
+            lambda p, s: self.engine.rollout(p, s)[1], params, rollout_state
+        )
+        item_shape = jax.eval_shape(
+            self._unroll_to_items, unroll_shape
+        )
+        example_item = jax.tree.map(
+            lambda s: jnp.zeros(s.shape[1:], s.dtype), item_shape
+        )
+        return R2D2TrainState(
+            params=params,
+            target_params=params,
+            opt_state=self.optimizer.init(params),
+            replay=self.replay.init_state(example_item),
+            rollout=rollout_state,
+            stats=episode_stats.init(self.num_training_envs),
+            eval_stats=episode_stats.init(
+                max(self.config.num_eval_envs, 1)
+            ),
+            rng=state_rng,
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def _rollout_and_insert(self, state: R2D2TrainState):
+        rollout_state, unroll = self.engine.rollout(
+            state.params, state.rollout
+        )
+        items = self._unroll_to_items(unroll)
+        priorities = self._initial_priorities(items)
+        replay, _ = self.replay.insert(state.replay, items, priorities)
+
+        new_steps = jax.tree.map(
+            lambda x: x[1:], unroll.timesteps.env_output
+        )
+        train_steps = jax.tree.map(
+            lambda x: x[:, : self.num_training_envs], new_steps
+        )
+        stats = episode_stats.update(state.stats, train_steps)
+        eval_stats = state.eval_stats
+        if self.config.num_eval_envs:
+            eval_steps = jax.tree.map(
+                lambda x: x[:, self.num_training_envs:], new_steps
+            )
+            eval_stats = episode_stats.update(state.eval_stats, eval_steps)
+        return state._replace(
+            rollout=rollout_state,
+            replay=replay,
+            stats=stats,
+            eval_stats=eval_stats,
+        )
+
+    def warmup_step(self, state: R2D2TrainState) -> R2D2TrainState:
+        """Rollout+insert only — used to fill the buffer to min size."""
+        return self._rollout_and_insert(state)
+
+    def _train_on_batch(self, carry, _):
+        params, target_params, opt_state, replay, rng = carry
+        config = self.config
+        rng, sample_rng = jax.random.split(rng)
+        indices, weights, items = self.replay.sample(
+            replay, sample_rng, config.batch_size, config.priority_exponent
+        )
+        time_major = jax.tree.map(
+            lambda t: jnp.swapaxes(t, 0, 1),
+            (items.prev_actions, items.env_outputs, items.agent_outputs),
+        )
+        prev_actions, env_outputs, agent_outputs = time_major
+
+        def loss_fn(p):
+            loss, priorities = compute_loss_and_priorities(
+                self.agent,
+                p,
+                target_params,
+                items.agent_state,
+                prev_actions,
+                env_outputs,
+                agent_outputs,
+                gamma=config.discounting,
+                burn_in=config.burn_in,
+                n_steps=config.n_steps,
+                rescaling_eps=config.value_function_rescaling_epsilon,
+            )
+            return jnp.mean(loss * weights), priorities
+
+        (loss, priorities), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        replay = self.replay.update_priorities(replay, indices, priorities)
+        logs = {
+            "losses/td": loss,
+            "grad/norm": grad_norm,
+            "replay/sampled_priority_mean": jnp.mean(priorities),
+            "replay/importance_weight_mean": jnp.mean(weights),
+        }
+        return (params, target_params, opt_state, replay, rng), logs
+
+    def train_step(self, state: R2D2TrainState) -> Tuple[R2D2TrainState, dict]:
+        config = self.config
+        state = self._rollout_and_insert(state)
+        rng, train_rng = jax.random.split(state.rng)
+
+        carry = (
+            state.params,
+            state.target_params,
+            state.opt_state,
+            state.replay,
+            train_rng,
+        )
+        carry, logs = jax.lax.scan(
+            self._train_on_batch, carry, None,
+            length=config.train_batches_per_step,
+        )
+        params, target_params, opt_state, replay, _ = carry
+        logs = jax.tree.map(lambda m: jnp.mean(m, axis=0), logs)
+
+        # Hard target update every N steps.
+        step = state.step + 1
+        do_update = (step % config.update_target_every_n_step) == 0
+        target_params = jax.tree.map(
+            lambda t, p: jnp.where(do_update, p, t), target_params, params
+        )
+
+        return state._replace(
+            params=params,
+            target_params=target_params,
+            opt_state=opt_state,
+            replay=replay,
+            rng=rng,
+            step=step,
+        ), logs
+
+    def train_many(self, state, num_steps: int):
+        def body(carry, _):
+            carry, metrics = self.train_step(carry)
+            return carry, metrics
+
+        state, metrics = jax.lax.scan(body, state, None, length=num_steps)
+        return state, jax.tree.map(lambda m: jnp.mean(m, axis=0), metrics)
+
+
+def learner_loop(
+    learner: R2D2Learner,
+    rng,
+    total_environment_frames: int,
+    logger=None,
+    checkpoint=None,
+    log_every_steps: int = 10,
+    steps_per_call: int = 1,
+) -> R2D2TrainState:
+    """Warmup until replay_buffer_min_size, then fused train steps."""
+    state = learner.init(rng)
+    if checkpoint is not None:
+        state = checkpoint.restore_or(state)
+
+    warmup = jax.jit(learner.warmup_step)
+    while (
+        int(state.replay.num_inserted)
+        < learner.config.replay_buffer_min_size
+    ):
+        state = warmup(state)
+
+    step_fn = jax.jit(
+        functools.partial(learner.train_many, num_steps=steps_per_call)
+    )
+    while int(state.step) * learner.frames_per_step < total_environment_frames:
+        state, metrics = step_fn(state)
+        step = int(state.step)
+        if logger is not None and step % log_every_steps < steps_per_call:
+            metrics = dict(metrics)
+            for name, stats in (
+                ("episodes", state.stats),
+                ("eval_episodes", state.eval_stats),
+            ):
+                n = float(stats.num_episodes)
+                if n > 0:
+                    metrics[f"{name}/mean_return"] = (
+                        float(stats.sum_return) / n
+                    )
+                    metrics[f"{name}/mean_length"] = (
+                        float(stats.sum_length) / n
+                    )
+            state = state._replace(
+                stats=episode_stats.reset_window(state.stats),
+                eval_stats=episode_stats.reset_window(state.eval_stats),
+            )
+            logger.log(
+                step, metrics, frames=step * learner.frames_per_step
+            )
+        if checkpoint is not None:
+            checkpoint.maybe_save(step, state)
+    if checkpoint is not None:
+        checkpoint.maybe_save(int(state.step), state, force=True)
+    return state

@@ -7,6 +7,7 @@ from seed_rl_tpu.envs.core import (  # noqa: F401
 )
 from seed_rl_tpu.envs.toy import (  # noqa: F401
     BitFlippingEnv,
+    DiscreteMatchEnv,
     ToyEnv,
     ToyMemoryEnv,
 )

@@ -201,3 +201,44 @@ class BitFlippingEnv(JaxEnv):
             terminated=t >= self.horizon,
             abandoned=jnp.zeros((), bool),
         )
+
+
+class _MatchState(NamedTuple):
+    t: jnp.ndarray
+    target: jnp.ndarray  # current target action
+    rng: jnp.ndarray
+
+
+class DiscreteMatchEnv(JaxEnv):
+    """Observe a one-hot target, be rewarded for playing it (DQN test env)."""
+
+    def __init__(self, n_actions: int = 4, horizon: int = 10):
+        self.n_actions = n_actions
+        self.horizon = horizon
+        self._action_space = gym.spaces.Discrete(n_actions)
+
+    def observation_spec(self):
+        return jax.ShapeDtypeStruct((self.n_actions,), jnp.float32)
+
+    @property
+    def action_space(self):
+        return self._action_space
+
+    def reset(self, rng):
+        rng, sub = jax.random.split(rng)
+        target = jax.random.randint(sub, (), 0, self.n_actions)
+        state = _MatchState(t=jnp.zeros((), jnp.int32), target=target, rng=rng)
+        return state, jax.nn.one_hot(target, self.n_actions)
+
+    def step(self, state, action):
+        reward = (action == state.target).astype(jnp.float32)
+        rng, sub = jax.random.split(state.rng)
+        target = jax.random.randint(sub, (), 0, self.n_actions)
+        t = state.t + 1
+        return StepResult(
+            state=_MatchState(t=t, target=target, rng=rng),
+            observation=jax.nn.one_hot(target, self.n_actions),
+            reward=reward,
+            terminated=t >= self.horizon,
+            abandoned=jnp.zeros((), bool),
+        )
