@@ -137,9 +137,16 @@ def test_r2d2_learns_discrete_match():
         stats=episode_stats.reset_window(state.stats),
         eval_stats=episode_stats.reset_window(state.eval_stats),
     )
-    for _ in range(13):
+    for _ in range(11):
         state, logs = run(state)
     late = float(state.stats.sum_return) / float(state.stats.num_episodes)
+    # Measure eval on a fresh window at the end (the cumulative window would
+    # average in the early untrained episodes).
+    state = state._replace(
+        eval_stats=episode_stats.reset_window(state.eval_stats)
+    )
+    for _ in range(2):
+        state, logs = run(state)
     eval_return = float(state.eval_stats.sum_return) / float(
         state.eval_stats.num_episodes
     )
