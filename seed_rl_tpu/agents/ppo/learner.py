@@ -108,7 +108,12 @@ class PPOLearner:
 
     def init(self, rng) -> PPOTrainState:
         init_rng, rollout_rng, env_rng = jax.random.split(rng, 3)
-        _, env_output = self.engine.env.reset(env_rng)
+        if self.engine.is_host:
+            env_output = jax.tree.map(
+                jnp.asarray, self.engine.env.reset(seed=0)
+            )
+        else:
+            _, env_output = self.engine.env.reset(env_rng)
         prev_action = self.engine._batch_zero_action(self.engine.env.num_envs)
         agent_params = self.agent.init_params(
             init_rng, prev_action, env_output
@@ -129,7 +134,10 @@ class PPOLearner:
             obs_norm=obs_norm,
             norm_state=self.loss.init_norm_state(),
             opt_state=self.optimizer.init(params),
-            rollout=self.engine.init(
+            # Host engines keep rollout state outside the jax train state.
+            rollout=()
+            if self.engine.is_host
+            else self.engine.init(
                 self._agent_params(params, obs_norm), rollout_rng
             ),
             stats=episode_stats.init(self.engine.env.num_envs),
@@ -242,14 +250,24 @@ class PPOLearner:
 
     # -- the train step ------------------------------------------------------
 
+    def rollout_params(self, state: PPOTrainState):
+        """Parameters to run rollouts with (host-engine drivers use this)."""
+        return self._agent_params(state.params, state.obs_norm)
+
     def train_step(self, state: PPOTrainState) -> Tuple[PPOTrainState, dict]:
-        config = self.config
         rollout_state, unroll = self.engine.rollout(
             self._agent_params(state.params, state.obs_norm), state.rollout
         )
         rng, step_rng = jax.random.split(rollout_state.rng)
         rollout_state = rollout_state._replace(rng=rng)
+        state = state._replace(rollout=rollout_state)
+        return self.update(state, unroll, step_rng)
 
+    def update(
+        self, state: PPOTrainState, unroll, step_rng
+    ) -> Tuple[PPOTrainState, dict]:
+        """Full PPO optimization pass on one collected unroll batch."""
+        config = self.config
         params = state.params
         obs_norm = state.obs_norm
         norm_state = state.norm_state
@@ -337,12 +355,11 @@ class PPOLearner:
         new_env_outputs = jax.tree.map(lambda x: x[1:], ts.env_output)
         stats = episode_stats.update(state.stats, new_env_outputs)
 
-        new_state = PPOTrainState(
+        new_state = state._replace(
             params=params,
             obs_norm=obs_norm,
             norm_state=norm_state,
             opt_state=opt_state,
-            rollout=rollout_state,
             stats=stats,
             step=state.step + 1,
         )

@@ -169,7 +169,12 @@ class VTraceLearner:
     def init(self, rng) -> VTraceTrainState:
         mul = self.config.entropy_cost_adjustment_speed
         init_rng, rollout_rng, env_rng = jax.random.split(rng, 3)
-        _, env_output = self.engine.env.reset(env_rng)
+        if self.engine.is_host:
+            env_output = jax.tree.map(
+                jnp.asarray, self.engine.env.reset(seed=0)
+            )
+        else:
+            _, env_output = self.engine.env.reset(env_rng)
         prev_action = self.engine._batch_zero_action(self.engine.env.num_envs)
         net_params = self.agent.init_params(init_rng, prev_action, env_output)
         params = {
@@ -181,27 +186,29 @@ class VTraceLearner:
         return VTraceTrainState(
             params=params,
             opt_state=self.optimizer.init(params),
-            rollout=self.engine.init(net_params, rollout_rng),
+            # Host engines keep rollout state outside the jax train state.
+            rollout=()
+            if self.engine.is_host
+            else self.engine.init(net_params, rollout_rng),
             stats=episode_stats.init(self.engine.env.num_envs),
             step=jnp.zeros((), jnp.int32),
         )
 
-    def train_step(
-        self, state: VTraceTrainState
-    ) -> Tuple[VTraceTrainState, dict]:
-        rollout_state, unroll = self.engine.rollout(
-            state.params["net"], state.rollout
-        )
-        rng, loss_rng = jax.random.split(rollout_state.rng)
-        rollout_state = rollout_state._replace(rng=rng)
+    def rollout_params(self, state: VTraceTrainState):
+        """Parameters to run rollouts with (host-engine drivers use this)."""
+        return state.params["net"]
 
+    def update(
+        self, state: VTraceTrainState, unroll: Unroll, rng
+    ) -> Tuple[VTraceTrainState, dict]:
+        """One optimization step on a collected unroll (engine-agnostic)."""
         grad_fn = jax.grad(
             functools.partial(
                 compute_loss, self.config, self.agent, self.agent.distribution
             ),
             has_aux=True,
         )
-        grads, metrics = grad_fn(state.params, unroll, loss_rng)
+        grads, metrics = grad_fn(state.params, unroll, rng)
         if self.axis_name is not None:
             grads = jax.lax.pmean(grads, self.axis_name)
 
@@ -223,14 +230,24 @@ class VTraceLearner:
         )
         stats = episode_stats.update(state.stats, new_env_outputs)
 
-        new_state = VTraceTrainState(
+        new_state = state._replace(
             params=params,
             opt_state=opt_state,
-            rollout=rollout_state,
             stats=stats,
             step=state.step + 1,
         )
         return new_state, metrics
+
+    def train_step(
+        self, state: VTraceTrainState
+    ) -> Tuple[VTraceTrainState, dict]:
+        rollout_state, unroll = self.engine.rollout(
+            state.params["net"], state.rollout
+        )
+        rng, loss_rng = jax.random.split(rollout_state.rng)
+        rollout_state = rollout_state._replace(rng=rng)
+        state = state._replace(rollout=rollout_state)
+        return self.update(state, unroll, loss_rng)
 
     def train_many(
         self, state: VTraceTrainState, num_steps: int

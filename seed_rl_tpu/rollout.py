@@ -72,6 +72,8 @@ def _tree_select(pred, on_true, on_false):
 
 
 class RolloutEngine:
+    is_host = False
+
     """Generates fixed-length unrolls by stepping envs + policy on device.
 
     Args:
