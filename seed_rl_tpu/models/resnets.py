@@ -1,0 +1,153 @@
+"""IMPALA-style residual conv networks (DmLab / Football agents).
+
+Parity with /root/reference/dmlab/networks.py (``_Stack`` residual blocks
+:24-58, ``ImpalaDeep`` :63-171: stacks (16,2)(32,2)(32,2) → Dense 256 →
+concat(clipped reward, one-hot prev action) → LSTM 256 → policy/baseline)
+and /root/reference/football/networks.py (``GFootball`` :66-150: four stacks
+(16,2)(32,2)(32,2)(32,2), stateless, lecun-normal heads, bit-packed obs
+unpacked on device).
+
+Conv compute dtype is configurable (bfloat16 targets the MXU at full rate).
+"""
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from seed_rl_tpu.models.core import lstm_initial_state, reset_state_where_done
+
+
+class ResidualStack(nn.Module):
+    """Conv + maxpool downscale followed by residual conv blocks."""
+
+    num_ch: int
+    num_blocks: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.num_ch, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        x = nn.max_pool(
+            x, (3, 3), strides=(2, 2), padding="SAME"
+        )
+        for i in range(self.num_blocks):
+            block_input = x
+            x = nn.relu(x)
+            x = nn.Conv(
+                self.num_ch, (3, 3), padding="SAME", dtype=self.dtype,
+                name=f"res_{i}_conv0",
+            )(x)
+            x = nn.relu(x)
+            x = nn.Conv(
+                self.num_ch, (3, 3), padding="SAME", dtype=self.dtype,
+                name=f"res_{i}_conv1",
+            )(x)
+            x = x + block_input
+        return x
+
+
+class ImpalaResNetTorso(nn.Module):
+    stack_config: Sequence[Tuple[int, int]] = ((16, 2), (32, 2), (32, 2))
+    out_features: int = 256
+    dtype: jnp.dtype = jnp.float32
+    kernel_init: Any = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, frame):
+        x = frame.astype(self.dtype) / 255.0
+        for num_ch, num_blocks in self.stack_config:
+            x = ResidualStack(num_ch, num_blocks, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = x.reshape(x.shape[:-3] + (-1,))
+        x = nn.relu(
+            nn.Dense(
+                self.out_features,
+                dtype=self.dtype,
+                kernel_init=self.kernel_init,
+            )(x)
+        )
+        return x.astype(jnp.float32)
+
+
+class ImpalaDeep(nn.Module):
+    """Deep IMPALA agent: resnet torso + LSTM(256) + policy/value heads."""
+
+    num_actions: int
+    lstm_size: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def stateless(self) -> bool:
+        return False
+
+    def initial_state(self, batch_size: int):
+        return lstm_initial_state((self.lstm_size,), batch_size)
+
+    @nn.compact
+    def __call__(self, prev_action, env_output, core_state):
+        conv_out = ImpalaResNetTorso(dtype=self.dtype)(
+            env_output.observation
+        )
+        clipped_reward = jnp.clip(env_output.reward, -1.0, 1.0)[..., None]
+        torso_out = jnp.concatenate(
+            [
+                conv_out,
+                clipped_reward,
+                jax.nn.one_hot(prev_action, self.num_actions),
+            ],
+            axis=-1,
+        )
+        done = env_output.done
+        core_state = reset_state_where_done(
+            done,
+            core_state,
+            lstm_initial_state((self.lstm_size,), done.shape[0]),
+        )
+        cell = nn.OptimizedLSTMCell(self.lstm_size, name="lstm")
+        new_core, x = cell(core_state[0], torso_out)
+
+        policy_logits = nn.Dense(self.num_actions, name="policy_logits")(x)
+        baseline = jnp.squeeze(nn.Dense(1, name="baseline")(x), axis=-1)
+        return (policy_logits, baseline), (new_core,)
+
+
+class GFootball(nn.Module):
+    """Stateless 4-stack resnet agent over bit-packed SMM observations."""
+
+    parametric_distribution_param_size: int
+    dtype: jnp.dtype = jnp.float32
+    unpack_input_bits: bool = True
+
+    @property
+    def stateless(self) -> bool:
+        return True
+
+    def initial_state(self, batch_size: int):
+        del batch_size
+        return ()
+
+    @nn.compact
+    def __call__(self, prev_action, env_output, core_state):
+        del prev_action
+        frame = env_output.observation
+        if self.unpack_input_bits:
+            from seed_rl_tpu.envs.football import unpackbits
+
+            frame = unpackbits(frame)
+        init = nn.initializers.lecun_normal()
+        x = ImpalaResNetTorso(
+            stack_config=((16, 2), (32, 2), (32, 2), (32, 2)),
+            dtype=self.dtype,
+            kernel_init=init,
+        )(frame)
+        policy_params = nn.Dense(
+            self.parametric_distribution_param_size,
+            kernel_init=init,
+            name="policy_logits",
+        )(x)
+        baseline = jnp.squeeze(
+            nn.Dense(1, kernel_init=init, name="baseline")(x), axis=-1
+        )
+        return (policy_params, baseline), core_state

@@ -1,0 +1,145 @@
+"""Tests for Atari preprocessing, football bit packing, DmLab scores,
+frame stacking and the resnet model family.
+
+Mirrors reference tests: football/observation_test.py (bit-pack round
+trip), atari/networks_test.py (frame-stacking done-masking semantics),
+dmlab/games.py score math.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from seed_rl_tpu.envs import dmlab
+from seed_rl_tpu.envs.atari import pool_and_resize_frames
+from seed_rl_tpu.envs.football import PackedBitsObservation, unpackbits
+from seed_rl_tpu.models.atari import (
+    initial_frame_stacking_state,
+    stack_frame,
+)
+from seed_rl_tpu.models.resnets import GFootball, ImpalaDeep
+from seed_rl_tpu.types import EnvOutput
+
+
+def test_football_bitpack_roundtrip():
+    rng = np.random.RandomState(0)
+    planes = rng.randint(0, 2, (7, 5, 35)).astype(np.uint8)
+
+    class DummyEnv:
+        import gymnasium as gym
+
+        observation_space = gym.spaces.Box(0, 1, (7, 5, 35), np.uint8)
+
+    wrapper = PackedBitsObservation.__new__(PackedBitsObservation)
+    import gymnasium as gym
+
+    wrapper.observation_space = gym.spaces.Box(
+        0, np.iinfo(np.uint16).max, (7, 5, 3), np.uint16
+    )
+    packed = PackedBitsObservation.observation(wrapper, planes)
+    assert packed.dtype == np.uint16
+    assert packed.shape == (7, 5, (35 + 15) // 16)
+
+    unpacked = np.asarray(unpackbits(jnp.asarray(packed)))
+    np.testing.assert_array_equal(
+        unpacked[..., :35], planes.astype(np.float32) * 255
+    )
+    # Padding bits decode to zero.
+    np.testing.assert_array_equal(unpacked[..., 35:], 0.0)
+
+
+def test_atari_pool_and_resize():
+    rng = np.random.RandomState(0)
+    f0 = rng.randint(0, 255, (210, 160)).astype(np.uint8)
+    f1 = rng.randint(0, 255, (210, 160)).astype(np.uint8)
+    out = pool_and_resize_frames(f0, f1, 84)
+    assert out.shape == (84, 84, 1)
+    assert out.dtype == np.uint8
+    # Max-pooling happens BEFORE the resize: constant frames stay constant.
+    const0 = np.full((210, 160), 10, np.uint8)
+    const1 = np.full((210, 160), 200, np.uint8)
+    out2 = pool_and_resize_frames(const0, const1, 84)
+    np.testing.assert_array_equal(out2, 200)
+
+
+def test_atari_create_environment_gated():
+    from seed_rl_tpu.envs import atari
+
+    with pytest.raises(ImportError, match="ale_py"):
+        atari.create_environment("Pong")
+
+
+def test_dmlab_human_normalized_score():
+    score = dmlab.human_normalized_score("rooms_watermaze", [54.0])
+    np.testing.assert_allclose(score, 100.0, rtol=1e-5)
+    score = dmlab.human_normalized_score("rooms_watermaze", [4.065])
+    np.testing.assert_allclose(score, 0.0, atol=1e-5)
+    assert len(dmlab.DMLAB_30) == 30
+    assert len(dmlab.HUMAN_SCORES) == 30
+    assert set(dmlab.HUMAN_SCORES) == set(dmlab.RANDOM_SCORES)
+
+
+def test_frame_stacking_done_masking():
+    """Mirrors atari/networks_test.py:186-251 semantics."""
+    B, H, W = 2, 4, 4
+    stack = 3
+    state = initial_frame_stacking_state(stack, B, (H, W))
+
+    def frame(v):
+        return np.full((B, H, W, 1), v, np.uint8)
+
+    done = jnp.zeros((B,), bool)
+    stacked1, state = stack_frame(jnp.asarray(frame(1)), state, done, stack)
+    # History is zeros, newest frame last.
+    np.testing.assert_array_equal(np.asarray(stacked1[..., -1]), 1)
+    np.testing.assert_array_equal(np.asarray(stacked1[..., :-1]), 0)
+
+    stacked2, state = stack_frame(jnp.asarray(frame(2)), state, done, stack)
+    np.testing.assert_array_equal(
+        np.asarray(stacked2[0, 0, 0]), [0, 1, 2]
+    )
+
+    # done on env 0 resets ITS history only.
+    done = jnp.array([True, False])
+    stacked3, state = stack_frame(jnp.asarray(frame(3)), state, done, stack)
+    np.testing.assert_array_equal(np.asarray(stacked3[0, 0, 0]), [0, 0, 3])
+    np.testing.assert_array_equal(np.asarray(stacked3[1, 0, 0]), [1, 2, 3])
+
+
+def _env_output(batch, frame_shape, channels, discrete_frames=True):
+    h, w = frame_shape
+    dtype = jnp.uint8 if discrete_frames else jnp.uint16
+    return EnvOutput(
+        reward=jnp.zeros((batch,)),
+        done=jnp.zeros((batch,), bool),
+        observation=jnp.zeros((batch, h, w, channels), dtype),
+        abandoned=jnp.zeros((batch,), bool),
+        episode_step=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def test_impala_deep_forward():
+    net = ImpalaDeep(num_actions=9)
+    B = 2
+    env_output = _env_output(B, (72, 96), 3)
+    prev_action = jnp.zeros((B,), jnp.int32)
+    state = net.initial_state(B)
+    params = net.init(jax.random.PRNGKey(0), prev_action, env_output, state)
+    (logits, baseline), new_state = net.apply(
+        params, prev_action, env_output, state
+    )
+    assert logits.shape == (B, 9)
+    assert baseline.shape == (B,)
+    assert new_state[0][0].shape == (B, 256)
+
+
+def test_gfootball_net_forward_with_packed_obs():
+    net = GFootball(parametric_distribution_param_size=19)
+    B = 2
+    env_output = _env_output(B, (72, 96), 2, discrete_frames=False)
+    prev_action = jnp.zeros((B,), jnp.int32)
+    params = net.init(jax.random.PRNGKey(0), prev_action, env_output, ())
+    (logits, baseline), _ = net.apply(params, prev_action, env_output, ())
+    assert logits.shape == (B, 19)
+    assert baseline.shape == (B,)
