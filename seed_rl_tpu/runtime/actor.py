@@ -1,0 +1,325 @@
+"""Actor loop + learner-side inference bridge for external actors.
+
+This reproduces the reference's full actor↔learner capability
+(common/actor.py:45-185 + the learners' ``inference`` tf.functions, e.g.
+agents/vtrace/learner.py:350-405) for environments that cannot be
+vectorized on device:
+
+- ``actor_loop``: steps one batched env group, calling
+  ``client.inference(env_id, run_id, env_output, raw_reward) -> action``
+  per step; generates a fresh random ``run_id`` per (re)start so the
+  learner can detect restarts (actor.py:80-84); on transport errors it
+  tears down and rebuilds env + client (actor.py:71-74, 182-185); the
+  abandoned-episode protocol presents the final truncated transition as
+  non-done so algorithms can bootstrap (actor.py:119-143).
+- ``InferenceBridge``: the learner-side handler bound to the C++ batching
+  server (runtime/inference_server.py). Per batch it: detects run_id
+  changes and resets those envs' unroll/agent/action state (vtrace
+  learner.py:352-366), drops stale duplicate requests from dying actors
+  (``get_non_dying_envs``, common/utils.py:1005-1059), runs the jitted
+  policy on the batch, scatters back recurrent state, accumulates
+  timesteps into a ``HostUnrollStore`` and pushes completed unrolls into a
+  queue for the learner's ``update``.
+"""
+
+import queue
+import threading
+from typing import Any, Callable, Optional
+
+import numpy as np
+
+from seed_rl_tpu.runtime.unroll_store import HostUnrollStore
+from seed_rl_tpu.types import EnvOutput
+
+
+def get_non_dying_envs(env_ids: np.ndarray, run_ids: np.ndarray):
+    """Mask dropping in-flight stale requests of restarting envs.
+
+    Mirrors common/utils.py:1005-1059: when the same env appears more than
+    once in a batch (the old actor's last in-flight request racing its
+    replacement's first one), only the most recent request survives; after
+    filtering, each env appears exactly once. A *changed* run_id relative to
+    the learner's stored one is a restart, handled separately (state reset)
+    — it must NOT be dropped.
+    """
+    last = {}
+    for i, env_id in enumerate(env_ids):
+        last[int(env_id)] = i
+    keep = np.zeros(len(env_ids), bool)
+    for i in last.values():
+        keep[i] = True
+    assert len(last) == keep.sum()
+    return keep
+
+
+class InferenceBridge:
+    """Builds the batch handler + unroll pipeline around a jitted policy."""
+
+    def __init__(
+        self,
+        agent,
+        params_fn: Callable[[], Any],
+        num_envs: int,
+        unroll_length: int,
+        timestep_specs,
+        num_overlapping_steps: int = 0,
+        unroll_queue_max_size: int = 64,
+        example_action=None,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        # Example single-env action used to size the prev-action store
+        # (defaults to a scalar int32, the discrete-agent case).
+        self._example_action = (
+            np.zeros((), np.int32) if example_action is None
+            else np.asarray(example_action)
+        )
+        self.agent = agent
+        self.params_fn = params_fn
+        self.num_envs = num_envs
+        self.store = HostUnrollStore(
+            num_envs, unroll_length, timestep_specs, num_overlapping_steps
+        )
+        self.unroll_queue: "queue.Queue" = queue.Queue(unroll_queue_max_size)
+        self.run_ids = np.zeros((num_envs,), np.int64)
+        self._rng = jax.random.PRNGKey(np.random.randint(2**31))
+
+        # Dense per-env state (numpy mirrors of the reference Aggregators).
+        state0 = agent.initial_state(num_envs)
+        self._agent_states = jax.tree.map(np.asarray, state0)
+        self._initial_state_row = jax.tree.map(
+            lambda x: np.asarray(x[:1]), state0
+        )
+        # Core state at the start of each env's current unroll
+        # (first_agent_states aggregator, vtrace learner.py:333-340).
+        self._unroll_first_states = jax.tree.map(
+            np.copy, self._agent_states
+        )
+        self._prev_actions: Optional[np.ndarray] = None
+
+        def policy_step(params, prev_action, env_output, core_state, rng):
+            rng, key = jax.random.split(rng)
+            out, state = agent.policy_step(
+                params, prev_action, env_output, core_state, key
+            )
+            return out, state, rng
+
+        self._policy_step = jax.jit(policy_step)
+
+    def handler(self, env_ids: np.ndarray, request):
+        """InferenceServer handler: request = (run_id i64, EnvOutput)."""
+        import jax
+
+        run_ids, env_output = request
+
+        keep = get_non_dying_envs(env_ids, run_ids)
+        # Detect restarted envs among the kept requests -> reset their rows.
+        restarted = []
+        for i in np.flatnonzero(keep):
+            env_id = int(env_ids[i])
+            if self.run_ids[env_id] != run_ids[i]:
+                restarted.append(env_id)
+                self.run_ids[env_id] = run_ids[i]
+        if restarted:
+            restarted = np.asarray(restarted)
+            self.store.reset(restarted)
+            for leaf, init in zip(
+                jax.tree.leaves(self._agent_states),
+                jax.tree.leaves(self._initial_state_row),
+            ):
+                leaf[restarted] = init[0]
+            for leaf, init in zip(
+                jax.tree.leaves(self._unroll_first_states),
+                jax.tree.leaves(self._initial_state_row),
+            ):
+                leaf[restarted] = init[0]
+            if self._prev_actions is not None:
+                self._prev_actions[restarted] = 0
+
+        kept_idx = np.flatnonzero(keep)
+        kept_env_ids = env_ids[kept_idx]
+        kept_output = jax.tree.map(lambda x: x[kept_idx], env_output)
+
+        # Gather per-env recurrent state and previous actions.
+        core_state = jax.tree.map(
+            lambda x: x[kept_env_ids], self._agent_states
+        )
+        if self._prev_actions is None:
+            # Lazily sized from the first response.
+            prev_action = None
+        else:
+            prev_action = self._prev_actions[kept_env_ids]
+
+        params = self.params_fn()
+        import jax.numpy as jnp
+
+        if prev_action is None:
+            prev_action = np.broadcast_to(
+                self._example_action,
+                (len(kept_env_ids),) + self._example_action.shape,
+            ).copy()
+
+        agent_output, new_state, self._rng = self._policy_step(
+            params,
+            jnp.asarray(prev_action),
+            jax.tree.map(jnp.asarray, kept_output),
+            core_state,
+            self._rng,
+        )
+        agent_output = jax.tree.map(np.asarray, agent_output)
+        new_state = jax.tree.map(np.asarray, new_state)
+
+        # Scatter back the state and the actions we played.
+        for leaf, new in zip(
+            jax.tree.leaves(self._agent_states), jax.tree.leaves(new_state)
+        ):
+            leaf[kept_env_ids] = new
+        if self._prev_actions is None:
+            self._prev_actions = np.zeros(
+                (self.num_envs,) + agent_output.action.shape[1:],
+                agent_output.action.dtype,
+            )
+        actions = agent_output.action
+        old_prev_actions = (
+            prev_action
+            if isinstance(prev_action, np.ndarray)
+            else np.asarray(prev_action)
+        )
+
+        # Append to the unroll store: (prev_action, env_output, agent_output).
+        completed_ids, unrolls = self.store.append(
+            kept_env_ids,
+            (old_prev_actions, kept_output, agent_output),
+        )
+        self._prev_actions[kept_env_ids] = actions
+        if len(completed_ids):
+            first_states = jax.tree.map(
+                lambda x: x[completed_ids], self._unroll_first_states
+            )
+            try:
+                self.unroll_queue.put_nowait(
+                    (completed_ids, first_states, unrolls)
+                )
+            except queue.Full:
+                pass  # drop under backpressure (off-policy tolerates this)
+            # The next unroll of these envs starts at the carried boundary;
+            # record the state entering it.
+            for leaf, cur in zip(
+                jax.tree.leaves(self._unroll_first_states),
+                jax.tree.leaves(self._agent_states),
+            ):
+                leaf[completed_ids] = cur[completed_ids]
+
+        # Dying requests get a zero action (their actors are being replaced).
+        full_actions = np.zeros(
+            (len(env_ids),) + actions.shape[1:], actions.dtype
+        )
+        full_actions[kept_idx] = actions
+        return (full_actions,)
+
+    def next_unroll_batch(self, batch_size: int, timeout: float = 10.0):
+        """Collects ``batch_size`` completed unrolls, stacked time-major.
+
+        Returns an ``Unroll``-compatible (agent_state, timesteps) pair with
+        leaves [T_total, batch, ...], ready for any learner's ``update``.
+        Surplus unrolls are kept for the next call (like the reference's
+        unroll queue).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from seed_rl_tpu.rollout import Timestep, Unroll
+
+        if not hasattr(self, "_pending"):
+            self._pending = []
+        while len(self._pending) < batch_size:
+            completed_ids, first_states, unrolls = self.unroll_queue.get(
+                timeout=timeout
+            )
+            for j in range(len(completed_ids)):
+                self._pending.append(
+                    (
+                        jax.tree.map(lambda x: x[j], first_states),
+                        jax.tree.map(lambda x: x[j], unrolls),
+                    )
+                )
+        items = self._pending[:batch_size]
+        self._pending = self._pending[batch_size:]
+
+        state_tree = jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs], axis=0),
+            *[s for s, _ in items],
+        )
+        # Item-major [batch, T, ...] -> time-major [T, batch, ...].
+        stacked = jax.tree.map(
+            lambda *xs: jnp.swapaxes(
+                jnp.stack([jnp.asarray(x) for x in xs], axis=0), 0, 1
+            ),
+            *[u for _, u in items],
+        )
+        prev_actions, env_outputs, agent_outputs = stacked
+        return Unroll(
+            agent_state=state_tree,
+            timesteps=Timestep(
+                prev_action=prev_actions,
+                env_output=env_outputs,
+                agent_output=agent_outputs,
+            ),
+        )
+
+
+def actor_loop(
+    create_env_fn: Callable[[], Any],
+    client,
+    num_steps: Optional[int] = None,
+    env_id_offset: int = 0,
+    max_reconnects: int = 10,
+):
+    """Steps a HostBatchedEnv group against an inference client.
+
+    ``client.inference(env_id, run_id, env_output_row, raw_reward) ->
+    action``; batching happens server-side. One random int64 run_id per
+    process life (regenerated on reconnect).
+    """
+    reconnects = 0
+    steps_done = 0
+    while True:
+        try:
+            env = create_env_fn()
+            run_id = np.random.randint(1, 2**62, dtype=np.int64)
+            output = env.reset()
+            n = env.num_envs
+            import jax
+
+            while num_steps is None or steps_done < num_steps:
+                actions = []
+                for i in range(n):
+                    row = jax.tree.map(lambda x: x[i], output)
+                    action = client.inference(
+                        env_id_offset + i, run_id, row, row.reward
+                    )
+                    actions.append(np.asarray(action))
+                output = env.step(np.stack(actions))
+                steps_done += 1
+            env.close()
+            return steps_done
+        except RuntimeError:
+            reconnects += 1
+            if reconnects > max_reconnects:
+                raise
+            continue
+
+
+class BridgeClient:
+    """Adapts InferenceServer to the reference actor call convention."""
+
+    def __init__(self, server):
+        self._server = server
+
+    def inference(self, env_id, run_id, env_output, raw_reward):
+        del raw_reward  # tracked learner-side via EnvOutput.reward
+        (action,) = self._server.inference(
+            env_id, (np.int64(run_id), env_output)
+        )
+        return action

@@ -210,9 +210,17 @@ class InferenceServer:
 
             handler = self._handlers[shard]
             shard = (shard + 1) % len(self._handlers)
-            results = handler(env_ids, requests)
+            try:
+                results = handler(env_ids, requests)
+                encoded = self._res_codec.encode_batch(results)
+            except Exception:  # keep the runner alive: a dead runner
+                # deadlocks every blocked submitter (reference cancels the
+                # whole server on handler errors; we fail the batch with
+                # zeros and log).
+                import traceback
 
-            encoded = self._res_codec.encode_batch(results)
+                traceback.print_exc()
+                encoded = b"\x00" * (n * self._res_codec.nbytes)
             lib.batcher_complete_batch(
                 self._handle, ticket.value, encoded, n
             )

@@ -1,0 +1,270 @@
+"""End-to-end external-actor pipeline tests.
+
+Mirrors the reference's actor↔learner integration semantics: unroll store
+completion patterns (tests/utils_test.py:70-273), run_id restart protocol
+(vtrace learner.py:352-366), dying-env filtering (utils_test.py:26-67), and
+a full actor-threads → C++ batcher → jitted policy → unroll queue →
+learner-update round trip.
+"""
+
+import threading
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from seed_rl_tpu import distributions as pd
+from seed_rl_tpu.agent import PolicyAgent
+from seed_rl_tpu.models import MLPPolicyNetwork
+from seed_rl_tpu.runtime.actor import (
+    BridgeClient,
+    InferenceBridge,
+    actor_loop,
+    get_non_dying_envs,
+)
+from seed_rl_tpu.runtime.inference_server import InferenceServer
+from seed_rl_tpu.runtime.unroll_store import HostUnrollStore
+from seed_rl_tpu.types import EnvOutput
+
+
+def test_unroll_store_completion_and_overlap():
+    specs = jax.ShapeDtypeStruct((2,), np.float32)
+    store = HostUnrollStore(
+        num_envs=3, unroll_length=4, timestep_specs=specs,
+        num_overlapping_steps=1,
+    )
+    # Full length = 1 + 4 + 1 = 6; first completion after 6 - 1 = 5 appends
+    # (index starts at overlap).
+    env_ids = np.array([0, 1])
+    for t in range(5):
+        ts = np.full((2, 2), t, np.float32)
+        done_ids, unrolls = store.append(env_ids, ts)
+        if t < 4:
+            assert len(done_ids) == 0
+        else:
+            np.testing.assert_array_equal(done_ids, [0, 1])
+            assert unrolls.shape == (2, 6, 2)
+            # Zero prefix (overlap) then steps 0..4.
+            np.testing.assert_array_equal(unrolls[0, 0], 0)
+            np.testing.assert_array_equal(unrolls[0, 1:, 0], [0, 1, 2, 3, 4])
+    # Next unroll carries last overlap+1 = 2 timesteps.
+    for t in range(5, 9):
+        done_ids, unrolls = store.append(env_ids, np.full((2, 2), t, np.float32))
+    np.testing.assert_array_equal(done_ids, [0, 1])
+    np.testing.assert_array_equal(
+        unrolls[0, :, 0], [3, 4, 5, 6, 7, 8]
+    )
+    # Env 2 was never appended; resetting env 0 zeroes only its row.
+    store.reset(np.array([0]))
+    done_ids, _ = store.append(np.array([0]), np.ones((1, 2), np.float32))
+    assert len(done_ids) == 0
+
+
+def test_get_non_dying_envs():
+    env_ids = np.array([1, 2, 2, 3])
+    run_ids = np.array([5, 6, 7, 8])  # env 2 appears twice: first is stale
+    keep = get_non_dying_envs(env_ids, run_ids)
+    np.testing.assert_array_equal(keep, [True, False, True, True])
+
+
+class _ScriptedEnvGroup:
+    """Deterministic batched env: obs counts steps, episodes of length 5."""
+
+    def __init__(self, num_envs=2, obs_dim=3):
+        self.num_envs = num_envs
+        self.obs_dim = obs_dim
+        self.t = np.zeros(num_envs, np.int32)
+
+    def reset(self):
+        self.t[:] = 0
+        return self._output(np.zeros(self.num_envs, np.float32))
+
+    def _output(self, reward):
+        obs = np.tile(
+            self.t[:, None].astype(np.float32), (1, self.obs_dim)
+        )
+        done = self.t >= 5
+        out = EnvOutput(
+            reward=reward,
+            done=done.copy(),
+            observation=obs,
+            abandoned=np.zeros(self.num_envs, bool),
+            episode_step=self.t.copy(),
+        )
+        self.t[done] = 0
+        return out
+
+    def step(self, actions):
+        self.t += 1
+        return self._output(np.ones(self.num_envs, np.float32))
+
+    def close(self):
+        pass
+
+
+def _make_bridge_and_server(num_envs, unroll_length, batch_size, obs_dim=3):
+    dist = pd.CategoricalDistribution(4)
+    net = MLPPolicyNetwork(
+        parametric_distribution_param_size=dist.param_size, mlp_sizes=(16,)
+    )
+    agent = PolicyAgent(net, dist)
+    env_output = EnvOutput(
+        reward=jnp.zeros((1,)),
+        done=jnp.zeros((1,), bool),
+        observation=jnp.zeros((1, obs_dim)),
+        abandoned=jnp.zeros((1,), bool),
+        episode_step=jnp.zeros((1,), jnp.int32),
+    )
+    params = agent.init_params(
+        jax.random.PRNGKey(0), jnp.zeros((1,), jnp.int32), env_output
+    )
+
+    env_output_specs = EnvOutput(
+        reward=jax.ShapeDtypeStruct((), np.float32),
+        done=jax.ShapeDtypeStruct((), bool),
+        observation=jax.ShapeDtypeStruct((obs_dim,), np.float32),
+        abandoned=jax.ShapeDtypeStruct((), bool),
+        episode_step=jax.ShapeDtypeStruct((), np.int32),
+    )
+    from seed_rl_tpu.types import AgentOutput
+
+    timestep_specs = (
+        jax.ShapeDtypeStruct((), np.int32),  # prev_action
+        env_output_specs,
+        AgentOutput(
+            action=jax.ShapeDtypeStruct((), np.int32),
+            policy_logits=jax.ShapeDtypeStruct((4,), np.float32),
+            baseline=jax.ShapeDtypeStruct((), np.float32),
+        ),
+    )
+    bridge = InferenceBridge(
+        agent,
+        params_fn=lambda: params,
+        num_envs=num_envs,
+        unroll_length=unroll_length,
+        timestep_specs=timestep_specs,
+    )
+    request_specs = (
+        jax.ShapeDtypeStruct((), np.int64),
+        env_output_specs,
+    )
+    result_specs = (jax.ShapeDtypeStruct((), np.int32),)
+    server = InferenceServer(
+        [bridge.handler],
+        request_specs,
+        result_specs,
+        batch_size=batch_size,
+        flush_timeout_ms=100,
+    )
+    return bridge, server, agent, params
+
+
+def test_actor_to_learner_round_trip():
+    num_envs, unroll_length = 4, 5
+    bridge, server, agent, params = _make_bridge_and_server(
+        num_envs, unroll_length, batch_size=4
+    )
+    client = BridgeClient(server)
+
+    # Two actor processes with two envs each.
+    threads = [
+        threading.Thread(
+            target=actor_loop,
+            args=(lambda: _ScriptedEnvGroup(2), client),
+            kwargs=dict(num_steps=15, env_id_offset=offset),
+        )
+        for offset in (0, 2)
+    ]
+    for t in threads:
+        t.start()
+    unroll = bridge.next_unroll_batch(batch_size=4, timeout=30)
+    for t in threads:
+        t.join(timeout=30)
+
+    ts = unroll.timesteps
+    assert ts.env_output.observation.shape == (unroll_length + 1, 4, 3)
+    # The unroll must be internally consistent: re-running the policy from
+    # the stored first state reproduces the stored outputs (after the
+    # zero-prefix first row, whose content is store-initialized zeros).
+    (logits, baseline), _ = agent.unroll(
+        params, ts.prev_action, ts.env_output, unroll.agent_state
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits),
+        np.asarray(ts.agent_output.policy_logits),
+        rtol=1e-4,
+        atol=1e-5,
+    )
+    server.shutdown()
+
+
+def test_restart_protocol_resets_unroll_store():
+    num_envs, unroll_length = 2, 4
+    bridge, server, agent, params = _make_bridge_and_server(
+        num_envs, unroll_length, batch_size=2
+    )
+    client = BridgeClient(server)
+
+    # First actor run: 3 steps (unroll incomplete).
+    actor_loop(
+        lambda: _ScriptedEnvGroup(2), client, num_steps=3, env_id_offset=0
+    )
+    assert bridge.unroll_queue.qsize() == 0
+    old_run_ids = bridge.run_ids.copy()
+    assert np.all(old_run_ids != 0)
+
+    # "Restarted" actor (new run_id): store rows must reset, so the next
+    # completion needs a full unroll_length+1 appends again.
+    actor_loop(
+        lambda: _ScriptedEnvGroup(2), client, num_steps=4, env_id_offset=0
+    )
+    assert np.all(bridge.run_ids != old_run_ids)
+    assert bridge.unroll_queue.qsize() == 0  # 4 < 5 appends since reset
+    actor_loop(
+        lambda: _ScriptedEnvGroup(2), client, num_steps=5, env_id_offset=0
+    )
+    # Third run resets again; 5 appends completes an unroll.
+    assert bridge.unroll_queue.qsize() >= 1
+    server.shutdown()
+
+
+def test_bridge_feeds_vtrace_update():
+    from seed_rl_tpu.agents import vtrace as vtrace_agent
+    from seed_rl_tpu.envs import BatchedEnv, DiscreteMatchEnv
+    from seed_rl_tpu.rollout import RolloutEngine
+
+    num_envs, unroll_length = 4, 5
+    # obs_dim 4 to match DiscreteMatchEnv(n_actions=4) one-hot observations.
+    bridge, server, agent, params = _make_bridge_and_server(
+        num_envs, unroll_length, batch_size=4, obs_dim=4
+    )
+    client = BridgeClient(server)
+    t = threading.Thread(
+        target=actor_loop,
+        args=(lambda: _ScriptedEnvGroup(4, obs_dim=4), client),
+        kwargs=dict(num_steps=12, env_id_offset=0),
+    )
+    t.start()
+    unroll = bridge.next_unroll_batch(batch_size=4, timeout=30)
+    t.join(timeout=30)
+    server.shutdown()
+
+    # Learner constructed over a matching-spec on-device env, but fed with
+    # externally collected unrolls via update().
+    engine_env = BatchedEnv(DiscreteMatchEnv(n_actions=4), num_envs)
+    learner = vtrace_agent.VTraceLearner(
+        RolloutEngine(engine_env, agent, unroll_length),
+        agent,
+        vtrace_agent.VTraceConfig(),
+        optax.adam(1e-3),
+    )
+    state = learner.init(jax.random.PRNGKey(0))
+    # Inject the real policy params used during collection.
+    state = state._replace(params=dict(state.params, net=params))
+    state2, metrics = jax.jit(learner.update)(
+        state, unroll, jax.random.PRNGKey(1)
+    )
+    assert int(state2.step) == 1
+    assert np.isfinite(float(metrics["losses/total"]))
