@@ -166,6 +166,10 @@ class VTraceLearner:
             * config.num_action_repeats
         )
 
+    @property
+    def frames_per_step(self):
+        return self._frames_per_step
+
     def init(self, rng) -> VTraceTrainState:
         mul = self.config.entropy_cost_adjustment_speed
         init_rng, rollout_rng, env_rng = jax.random.split(rng, 3)
@@ -281,10 +285,15 @@ def learner_loop(
     if checkpoint is not None:
         state = checkpoint.restore_or(state)
 
-    step_fn = jax.jit(
-        functools.partial(learner.train_many, num_steps=steps_per_call)
-    )
-    frames_per_step = learner._frames_per_step
+    if getattr(learner, "jit_compiled", False):
+        step_fn = functools.partial(
+            learner.train_many, num_steps=steps_per_call
+        )
+    else:
+        step_fn = jax.jit(
+            functools.partial(learner.train_many, num_steps=steps_per_call)
+        )
+    frames_per_step = learner.frames_per_step
     while int(state.step) * frames_per_step < total_environment_frames:
         state, metrics = step_fn(state)
         step = int(state.step)

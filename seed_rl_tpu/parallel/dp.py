@@ -97,9 +97,20 @@ class DistributedLearner:
         )
         self._many_cache = {}
 
+    # Marks pre-jitted entry points for generic learner loops.
+    jit_compiled = True
+
     @property
     def shardings(self):
         return self._shardings
+
+    @property
+    def frames_per_step(self):
+        return self.learner.frames_per_step
+
+    @property
+    def engine(self):
+        return self.learner.engine
 
     def init(self, rng):
         return self._init(rng)

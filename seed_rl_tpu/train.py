@@ -1,0 +1,455 @@
+"""Training entry point: ``python -m seed_rl_tpu.train --agent=... --env=...``.
+
+Replaces the reference's per-env mains ({atari,dmlab,football,mujoco}/
+{vtrace,r2d2,sac,ppo}_main.py + run_local.sh): one typed-config CLI covering
+every agent × environment combination, with factory-injection seams
+(create_env / create_agent / create_optimizer) preserved for programmatic
+use. The learner is the single source of configuration truth (the
+reference's serialize_config/update_config push to actors applies only to
+the external-actor runtime).
+
+Examples:
+  # PR-1 reference config (BASELINE.json): toy env + V-trace MLP (CPU ok).
+  python -m seed_rl_tpu.train --agent=vtrace --env=toy \
+      --num_envs=64 --unroll_length=10 --total_environment_frames=200000
+
+  # HalfCheetah PPO, tuned ppo.gin equivalents (MuJoCo on host CPU).
+  python -m seed_rl_tpu.train --agent=ppo --env=mujoco \
+      --env_name=HalfCheetah-v5 --num_envs=128 --unroll_length=16 \
+      --epochs_per_step=10 --batches_per_step=32 --learning_rate=3e-4 \
+      --clip_norm=0.5 --total_environment_frames=2000000
+
+  # Synthetic-Atari R2D2 on device (throughput/learning harness).
+  python -m seed_rl_tpu.train --agent=r2d2 --env=synthetic_atari \
+      --num_envs=64 --unroll_length=80 --burn_in=40
+"""
+
+import argparse
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--agent", required=True,
+                   choices=["vtrace", "ppo", "r2d2", "sac"])
+    p.add_argument("--env", required=True,
+                   choices=["toy", "toy_memory", "discrete_match",
+                            "bit_flipping", "synthetic_atari", "mujoco",
+                            "atari"])
+    p.add_argument("--env_name", default="HalfCheetah-v5")
+    p.add_argument("--game", default="Pong")
+    p.add_argument("--logdir", default=None)
+    p.add_argument("--total_environment_frames", type=int, default=1_000_000)
+    p.add_argument("--num_envs", type=int, default=64)
+    p.add_argument("--unroll_length", type=int, default=20)
+    p.add_argument("--learning_rate", type=float, default=3e-4)
+    p.add_argument("--clip_norm", type=float, default=40.0)
+    p.add_argument("--discounting", type=float, default=0.99)
+    p.add_argument("--entropy_cost", type=float, default=2.5e-4)
+    p.add_argument("--lambda_", type=float, default=0.95)
+    p.add_argument("--save_checkpoint_secs", type=float, default=1800)
+    p.add_argument("--init_checkpoint", default=None)
+    p.add_argument("--steps_per_call", type=int, default=10)
+    p.add_argument("--log_every_steps", type=int, default=20)
+    p.add_argument("--num_replicas", type=int, default=0,
+                   help="0 = all local devices (data parallelism)")
+    # PPO.
+    p.add_argument("--epochs_per_step", type=int, default=10)
+    p.add_argument("--batch_mode", default="split")
+    p.add_argument("--batches_per_step", type=int, default=32)
+    # R2D2.
+    p.add_argument("--burn_in", type=int, default=40)
+    p.add_argument("--n_steps", type=int, default=5)
+    p.add_argument("--replay_buffer_size", type=int, default=10_000)
+    p.add_argument("--replay_buffer_min_size", type=int, default=500)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--update_target_every_n_step", type=int, default=2500)
+    p.add_argument("--num_eval_envs", type=int, default=0)
+    # SAC.
+    p.add_argument("--her_window_length", type=int, default=0)
+    p.add_argument("--polyak", type=float, default=0.9)
+    return p.parse_args(argv)
+
+
+def make_env(args):
+    from seed_rl_tpu import envs
+
+    if args.env == "toy":
+        return envs.BatchedEnv(envs.ToyEnv(), args.num_envs), "device"
+    if args.env == "toy_memory":
+        return envs.BatchedEnv(envs.ToyMemoryEnv(), args.num_envs), "device"
+    if args.env == "discrete_match":
+        return (
+            envs.BatchedEnv(envs.DiscreteMatchEnv(), args.num_envs),
+            "device",
+        )
+    if args.env == "bit_flipping":
+        return (
+            envs.BatchedEnv(envs.BitFlippingEnv(), args.num_envs),
+            "device",
+        )
+    if args.env == "synthetic_atari":
+        from seed_rl_tpu.envs.synthetic import SyntheticAtariEnv
+
+        return (
+            envs.BatchedEnv(SyntheticAtariEnv(), args.num_envs),
+            "device",
+        )
+    if args.env == "mujoco":
+        from seed_rl_tpu.envs.host import HostBatchedEnv
+        from seed_rl_tpu.envs.mujoco import create_environment
+
+        return (
+            HostBatchedEnv(
+                lambda i: create_environment(args.env_name),
+                args.num_envs,
+                num_threads=min(args.num_envs, 16),
+            ),
+            "host",
+        )
+    if args.env == "atari":
+        from seed_rl_tpu.envs.atari import create_environment
+        from seed_rl_tpu.envs.host import HostBatchedEnv
+
+        return (
+            HostBatchedEnv(
+                lambda i: create_environment(args.game, task=i),
+                args.num_envs,
+                num_threads=min(args.num_envs, 16),
+            ),
+            "host",
+        )
+    raise ValueError(args.env)
+
+
+def _action_space_of(env):
+    return env.action_space
+
+
+def main(argv=None):
+    from seed_rl_tpu import distributions as pd
+    from seed_rl_tpu.utils.checkpoint import CheckpointManager
+    from seed_rl_tpu.utils.metrics import MetricsLogger
+
+    args = parse_args(argv)
+    env, location = make_env(args)
+    logger = MetricsLogger(args.logdir)
+    checkpoint = CheckpointManager(
+        args.logdir, save_checkpoint_secs=args.save_checkpoint_secs
+    )
+    rng = jax.random.PRNGKey(0)
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(args.clip_norm),
+        optax.adam(args.learning_rate),
+    )
+
+    if args.agent == "vtrace":
+        from seed_rl_tpu.agent import PolicyAgent
+        from seed_rl_tpu.agents import vtrace as vtrace_agent
+        from seed_rl_tpu.models import MLPAndLSTM
+        from seed_rl_tpu.models.atari import AtariPolicyNet
+
+        dist = pd.get_parametric_distribution_for_action_space(
+            _action_space_of(env)
+        )
+        if args.env in ("synthetic_atari", "atari"):
+            net = AtariPolicyNet(
+                parametric_distribution_param_size=dist.param_size,
+                stack_size=4,
+                lstm_size=256,
+            )
+        else:
+            net = MLPAndLSTM(
+                parametric_distribution_param_size=dist.param_size
+            )
+        agent = PolicyAgent(net, dist)
+        config = vtrace_agent.VTraceConfig(
+            discounting=args.discounting,
+            entropy_cost=args.entropy_cost,
+        )
+        if location == "device":
+            from seed_rl_tpu.rollout import RolloutEngine
+
+            engine = RolloutEngine(env, agent, args.unroll_length)
+            learner = vtrace_agent.VTraceLearner(
+                engine, agent, config, optimizer
+            )
+            if args.num_replicas != 1:
+                from seed_rl_tpu.parallel import DistributedLearner, make_mesh
+
+                n = args.num_replicas or len(jax.devices())
+                if n > 1:
+                    learner = DistributedLearner(learner, make_mesh(n))
+            vtrace_agent.learner_loop(
+                learner,
+                rng,
+                args.total_environment_frames,
+                logger=logger,
+                checkpoint=checkpoint,
+                log_every_steps=args.log_every_steps,
+                steps_per_call=args.steps_per_call,
+            )
+        else:
+            from seed_rl_tpu.host_loop import host_learner_loop
+            from seed_rl_tpu.rollout_host import HostRolloutEngine
+
+            engine = HostRolloutEngine(env, agent, args.unroll_length)
+            learner = vtrace_agent.VTraceLearner(
+                engine, agent, config, optimizer
+            )
+            host_learner_loop(
+                learner,
+                engine,
+                rng,
+                args.total_environment_frames,
+                logger=logger,
+                checkpoint=checkpoint,
+                log_every_steps=args.log_every_steps,
+            )
+    elif args.agent == "ppo":
+        from seed_rl_tpu.agents.ppo import policy_losses
+        from seed_rl_tpu.agents.ppo.continuous_control_agent import (
+            ContinuousControlNet,
+            NormalizingPolicyAgent,
+        )
+        from seed_rl_tpu.agents.ppo.generalized_onpolicy_loss import (
+            GeneralizedOnPolicyLoss,
+        )
+        from seed_rl_tpu.agents.ppo.input_normalization import (
+            InputNormalization,
+        )
+        from seed_rl_tpu.agents.ppo.learner import PPOConfig, PPOLearner
+        from seed_rl_tpu.agents.ppo.policy_regularizers import (
+            KLPolicyRegularizer,
+        )
+        from seed_rl_tpu.ops.advantages import GAE
+        from seed_rl_tpu.ops.popart import PopArt
+        from seed_rl_tpu.ops.running_statistics import AverageMeanStd
+
+        dist = pd.get_parametric_distribution_for_action_space(
+            _action_space_of(env),
+            pd.continuous_action_config(
+                action_gaussian_std_fn="safe_exp"
+            ),
+        )
+        obs_spec = env.observation_spec()
+        obs_size = int(np.prod(jax.tree.leaves(obs_spec)[0].shape))
+        net = ContinuousControlNet(
+            parametric_distribution_param_size=dist.param_size,
+            num_layers_policy=2,
+            num_layers_value=2,
+            num_units_policy=64,
+            num_units_value=64,
+            activation=jnp.tanh,
+            kernel_init_gain=float(np.sqrt(2.0)),
+            last_kernel_init_policy_gain=0.01,
+            last_kernel_init_value_gain=1.0,
+            std_independent_of_input=True,
+        )
+        agent = NormalizingPolicyAgent(
+            net,
+            dist,
+            input_normalization=InputNormalization(
+                AverageMeanStd(), input_size=obs_size
+            ),
+            input_clipping=10.0,
+        )
+        loss = GeneralizedOnPolicyLoss(
+            agent=agent,
+            reward_normalizer=PopArt(AverageMeanStd(), compensate=False),
+            parametric_action_distribution=dist,
+            advantage_estimator=GAE(lambda_=args.lambda_),
+            policy_loss=policy_losses.ppo(epsilon=0.2),
+            discount_factor=args.discounting,
+            regularizer=KLPolicyRegularizer(entropy=0.0),
+            baseline_cost=1.0,
+        )
+        config = PPOConfig(
+            epochs_per_step=args.epochs_per_step,
+            batch_mode=args.batch_mode,
+            batches_per_step=args.batches_per_step,
+        )
+        if location == "device":
+            from seed_rl_tpu.rollout import RolloutEngine
+
+            engine = RolloutEngine(env, agent, args.unroll_length)
+            learner = PPOLearner(engine, agent, loss, config, optimizer)
+            state = jax.jit(learner.init)(rng)
+            state = checkpoint.restore_or(state)
+            run = jax.jit(
+                functools.partial(
+                    learner.train_many, num_steps=args.steps_per_call
+                )
+            )
+            from seed_rl_tpu.utils import episode_stats
+
+            while (
+                int(state.step) * learner.frames_per_step
+                < args.total_environment_frames
+            ):
+                state, metrics = run(state)
+                step = int(state.step)
+                if step % args.log_every_steps < args.steps_per_call:
+                    stats = state.stats
+                    n = float(stats.num_episodes)
+                    metrics = dict(metrics)
+                    if n > 0:
+                        metrics["episodes/mean_return"] = (
+                            float(stats.sum_return) / n
+                        )
+                        state = state._replace(
+                            stats=episode_stats.reset_window(stats)
+                        )
+                    logger.log(
+                        step, metrics, frames=step * learner.frames_per_step
+                    )
+                checkpoint.maybe_save(step, state)
+            checkpoint.maybe_save(int(state.step), state, force=True)
+        else:
+            from seed_rl_tpu.host_loop import host_learner_loop
+            from seed_rl_tpu.rollout_host import HostRolloutEngine
+
+            engine = HostRolloutEngine(env, agent, args.unroll_length)
+            learner = PPOLearner(engine, agent, loss, config, optimizer)
+            host_learner_loop(
+                learner,
+                engine,
+                rng,
+                args.total_environment_frames,
+                logger=logger,
+                checkpoint=checkpoint,
+                log_every_steps=args.log_every_steps,
+            )
+    elif args.agent == "r2d2":
+        from seed_rl_tpu.agents import r2d2
+        from seed_rl_tpu.models.atari import DuelingLSTMDQNNet
+        from seed_rl_tpu.models.dueling_mlp import VectorDuelingDQNNet
+        from seed_rl_tpu.rollout import RolloutEngine
+
+        assert location == "device" or args.env == "atari"
+        space = _action_space_of(env)
+        num_actions = int(space.n)
+        if args.env in ("synthetic_atari", "atari"):
+            net = DuelingLSTMDQNNet(num_actions=num_actions)
+        else:
+            net = VectorDuelingDQNNet(num_actions=num_actions)
+        num_training = args.num_envs - args.num_eval_envs
+        epsilons = jnp.concatenate(
+            [
+                r2d2.training_env_epsilons(num_training),
+                jnp.full((args.num_eval_envs,), 1e-3),
+            ]
+        )
+        agent = r2d2.R2D2Agent(net, epsilons)
+        engine = RolloutEngine(
+            env, agent, args.unroll_length,
+            num_overlapping_steps=args.burn_in,
+        )
+        config = r2d2.R2D2Config(
+            discounting=args.discounting,
+            n_steps=args.n_steps,
+            burn_in=args.burn_in,
+            replay_buffer_size=args.replay_buffer_size,
+            replay_buffer_min_size=args.replay_buffer_min_size,
+            batch_size=args.batch_size,
+            update_target_every_n_step=args.update_target_every_n_step,
+            num_eval_envs=args.num_eval_envs,
+        )
+        learner = r2d2.R2D2Learner(engine, agent, config, optimizer)
+        r2d2.learner_loop(
+            learner,
+            rng,
+            args.total_environment_frames,
+            logger=logger,
+            checkpoint=checkpoint,
+            log_every_steps=args.log_every_steps,
+            steps_per_call=args.steps_per_call,
+        )
+    elif args.agent == "sac":
+        from seed_rl_tpu.agents import sac
+        from seed_rl_tpu.models.sac_nets import ActorCriticMLP
+        from seed_rl_tpu.rollout import RolloutEngine
+
+        assert location == "device", "SAC CLI currently drives JAX envs"
+        space = _action_space_of(env)
+        dist = pd.get_parametric_distribution_for_action_space(space)
+        import gymnasium as gym
+
+        net = ActorCriticMLP(
+            parametric_distribution_param_size=dist.param_size,
+            n_critics=2,
+            action_dim=1
+            if isinstance(space, gym.spaces.Discrete)
+            else None,
+        )
+        agent = sac.SACAgent(net, dist)
+        her_window = args.her_window_length or None
+        engine = RolloutEngine(
+            env, agent, her_window or args.unroll_length
+        )
+        config = sac.SACConfig(
+            discounting=args.discounting,
+            batch_size=args.batch_size,
+            replay_buffer_size=args.replay_buffer_size,
+            replay_buffer_min_size=args.replay_buffer_min_size,
+            unroll_length=args.unroll_length,
+            her_window_length=her_window,
+            polyak=args.polyak,
+        )
+        compute_reward_fn = None
+        if her_window:
+            from seed_rl_tpu.envs.toy import BitFlippingEnv
+
+            compute_reward_fn = BitFlippingEnv.compute_reward
+        learner = sac.SACLearner(
+            engine, agent, config, optimizer,
+            compute_reward_fn=compute_reward_fn,
+        )
+        state = jax.jit(learner.init)(rng)
+        state = checkpoint.restore_or(state)
+        warmup = jax.jit(learner.warmup_step)
+        while (
+            int(state.replay.num_inserted) < config.replay_buffer_min_size
+        ):
+            state = warmup(state)
+        run = jax.jit(
+            functools.partial(
+                learner.train_many, num_steps=args.steps_per_call
+            )
+        )
+        from seed_rl_tpu.utils import episode_stats
+
+        while (
+            int(state.step) * learner.frames_per_step
+            < args.total_environment_frames
+        ):
+            state, metrics = run(state)
+            step = int(state.step)
+            if step % args.log_every_steps < args.steps_per_call:
+                stats = state.stats
+                n = float(stats.num_episodes)
+                metrics = dict(metrics)
+                if n > 0:
+                    metrics["episodes/mean_return"] = (
+                        float(stats.sum_return) / n
+                    )
+                    state = state._replace(
+                        stats=episode_stats.reset_window(stats)
+                    )
+                logger.log(
+                    step, metrics, frames=step * learner.frames_per_step
+                )
+            checkpoint.maybe_save(step, state)
+        checkpoint.maybe_save(int(state.step), state, force=True)
+    logger.flush()
+    checkpoint.close()
+
+
+if __name__ == "__main__":
+    main()
