@@ -94,6 +94,7 @@ class RolloutEngine:
         unroll_length: int,
         num_overlapping_steps: int = 0,
         zero_action=None,
+        deterministic: bool = False,
     ):
         assert unroll_length > num_overlapping_steps, (
             "unroll_length must exceed the overlap (reference UnrollStore "
@@ -103,6 +104,9 @@ class RolloutEngine:
         self.agent = agent
         self.unroll_length = unroll_length
         self.overlap = num_overlapping_steps
+        # Deterministic inference for eval (reference PPO
+        # host.deterministic_inference, learner.py:486-488).
+        self.deterministic = deterministic
         if zero_action is None:
             zero_action = _zero_action_for_space(batched_env.action_space)
         self._zero_action = zero_action
@@ -131,7 +135,8 @@ class RolloutEngine:
         next_unroll_state = _tree_select(capture, agent_state, next_unroll_state)
 
         agent_output, new_agent_state = self.agent.policy_step(
-            params, prev_action, env_output, agent_state, action_key
+            params, prev_action, env_output, agent_state, action_key,
+            deterministic=self.deterministic,
         )
         timestep = Timestep(
             prev_action=prev_action,
