@@ -51,23 +51,27 @@ def build_learner(num_envs: int, unroll_length: int):
 
 
 def main():
-    num_envs = 256
-    unroll_length = 16
-    steps_per_call = 4
+    num_envs = 1024
+    unroll_length = 32
+    steps_per_call = 2
 
     learner = build_learner(num_envs, unroll_length)
     state = jax.jit(learner.init)(jax.random.PRNGKey(0))
-    run = jax.jit(lambda s: learner.train_many(s, steps_per_call))
+    # Donating the train state keeps rollout/optimizer buffers in place
+    # across steps (no copy-on-write of the env/replay state).
+    run = jax.jit(
+        lambda s: learner.train_many(s, steps_per_call), donate_argnums=0
+    )
 
     # Warmup: compile + one measured-shape execution.
     state, _ = run(state)
-    jax.block_until_ready(state.params)
+    jax.block_until_ready(state.step)
 
     calls = 8
     t0 = time.perf_counter()
     for _ in range(calls):
         state, metrics = run(state)
-    jax.block_until_ready(state.params)
+    jax.block_until_ready(state.step)
     dt = time.perf_counter() - t0
 
     frames = calls * steps_per_call * num_envs * unroll_length
