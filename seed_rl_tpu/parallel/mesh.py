@@ -38,3 +38,25 @@ def make_mesh(
     assert n <= len(devices), (num_replicas, model_parallelism, len(devices))
     grid = np.asarray(devices[:n]).reshape(num_replicas, model_parallelism)
     return Mesh(grid, axis_names)
+
+
+def init_multi_host(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+):
+    """Initializes JAX distributed so ``jax.devices()`` spans all hosts.
+
+    The multi-host equivalent of the reference's ``init_learner_multi_host``
+    (common/utils.py:53-98): after this, ``make_mesh()`` builds a global mesh
+    over every chip in the pod slice, per-host env shards live on local
+    devices, and gradient reductions ride ICI. On single-host setups this is
+    a no-op.
+    """
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
