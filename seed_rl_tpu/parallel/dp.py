@@ -40,8 +40,13 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
-def state_pspecs(state_shape: Any, axis_name: str = "replica") -> Any:
+def state_pspecs(
+    state_shape: Any, axis_name: str = "replica", axis_size: int = 1
+) -> Any:
     """PartitionSpec pytree for a learner state, by path rules above."""
+
+    def divisible(leaf, axis=0):
+        return leaf.ndim > axis and leaf.shape[axis] % max(axis_size, 1) == 0
 
     def rule(path, leaf):
         p = _path_str(path)
@@ -52,12 +57,12 @@ def state_pspecs(state_shape: Any, axis_name: str = "replica") -> Any:
                 return P()
             if "carry_timesteps" in p:
                 # [T, B, ...] — batch is axis 1.
-                return P(None, axis_name)
-            return P(axis_name)
-        if "stats/return_acc" in p:
-            return P(axis_name)
+                return P(None, axis_name) if divisible(leaf, 1) else P()
+            return P(axis_name) if divisible(leaf) else P()
+        if re.search(r"(^|/)(eval_)?stats/return_acc", p):
+            return P(axis_name) if divisible(leaf) else P()
         if re.search(r"(^|/)replay/", p):
-            if leaf.ndim == 0 or "rng" in p:
+            if leaf.ndim == 0 or "rng" in p or not divisible(leaf):
                 return P()
             return P(axis_name)
         return P()
@@ -83,7 +88,9 @@ class DistributedLearner:
             f"num_envs={num_envs} must divide over {num_replicas} replicas"
         )
         state_shape = jax.eval_shape(learner.init, jax.random.PRNGKey(0))
-        self._pspecs = state_pspecs(state_shape, axis_name)
+        self._pspecs = state_pspecs(
+            state_shape, axis_name, mesh.shape[axis_name]
+        )
         self._shardings = jax.tree.map(
             lambda p: NamedSharding(mesh, p),
             self._pspecs,

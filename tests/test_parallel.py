@@ -95,3 +95,71 @@ def test_distributed_train_many():
     state, metrics = dist_learner.train_many(state, 5)
     assert int(state.step) == 5
     assert np.isfinite(float(metrics["losses/total"]))
+
+
+def test_distributed_r2d2_runs_sharded():
+    import jax.numpy as jnp
+    from seed_rl_tpu.agents import r2d2
+    from seed_rl_tpu.envs import DiscreteMatchEnv
+    from seed_rl_tpu.models.dueling_mlp import VectorDuelingDQNNet
+
+    num_envs = 16
+    env = BatchedEnv(DiscreteMatchEnv(n_actions=4), num_envs)
+    net = VectorDuelingDQNNet(num_actions=4, mlp_sizes=(16,), lstm_size=8,
+                              hidden_size=16)
+    agent = r2d2.R2D2Agent(net, r2d2.training_env_epsilons(num_envs))
+    engine = RolloutEngine(env, agent, 4, num_overlapping_steps=1)
+    config = r2d2.R2D2Config(
+        burn_in=1, n_steps=2, replay_buffer_size=64,
+        replay_buffer_min_size=8, batch_size=8, num_eval_envs=0,
+    )
+    learner = r2d2.R2D2Learner(engine, agent, config, optax.adam(1e-3))
+    mesh = make_mesh(num_replicas=8)
+    dlearner = DistributedLearner(learner, mesh)
+    state = dlearner.init(jax.random.PRNGKey(0))
+    # Replay items are sharded over the mesh.
+    prio = state.replay.priorities
+    assert len(prio.sharding.device_set) == 8
+
+    warmup = jax.jit(
+        learner.warmup_step,
+        in_shardings=(dlearner.shardings,),
+        out_shardings=dlearner.shardings,
+    )
+    state = warmup(state)
+    state, metrics = dlearner.train_step(state)
+    assert int(state.step) == 1
+    assert np.isfinite(float(metrics["losses/td"]))
+
+
+def test_distributed_sac_runs_sharded():
+    import jax.numpy as jnp
+    from seed_rl_tpu.agents import sac
+    from seed_rl_tpu.models.sac_nets import ActorCriticMLP
+    from seed_rl_tpu import distributions as pd2
+
+    num_envs = 16
+    env = BatchedEnv(ToyEnv(horizon=3), num_envs)
+    dist = pd2.NormalTanhDistribution(3)
+    net = ActorCriticMLP(
+        parametric_distribution_param_size=dist.param_size,
+        n_critics=2, mlp_sizes=(16,),
+    )
+    agent = sac.SACAgent(net, dist)
+    engine = RolloutEngine(env, agent, unroll_length=1)
+    config = sac.SACConfig(
+        batch_size=8, replay_buffer_size=64, replay_buffer_min_size=8,
+    )
+    learner = sac.SACLearner(engine, agent, config, optax.adam(1e-3))
+    mesh = make_mesh(num_replicas=8)
+    dlearner = DistributedLearner(learner, mesh)
+    state = dlearner.init(jax.random.PRNGKey(0))
+    warmup = jax.jit(
+        learner.warmup_step,
+        in_shardings=(dlearner.shardings,),
+        out_shardings=dlearner.shardings,
+    )
+    state = warmup(state)
+    state, metrics = dlearner.train_step(state)
+    assert int(state.step) == 1
+    assert np.isfinite(float(metrics["losses/total"]))
