@@ -77,9 +77,16 @@ class SACAgent:
         self, params, prev_action, env_output, core_state, rng,
         deterministic=False,
     ):
-        action_params = self.action_params(
-            params, prev_action, env_output, core_state
-        )
+        if getattr(self.net, "stateless", True):
+            action_params = self.action_params(
+                params, prev_action, env_output, core_state
+            )
+        else:
+            # Recurrent net (ActorCriticLSTM): advance every net's carry.
+            action_params, core_state = self.net.apply(
+                params, prev_action, env_output, core_state,
+                method=self.net.step,
+            )
         if deterministic:
             action = self.distribution.mode(action_params)
         else:

@@ -74,6 +74,9 @@ def parse_args(argv=None):
     # SAC.
     p.add_argument("--her_window_length", type=int, default=0)
     p.add_argument("--polyak", type=float, default=0.9)
+    p.add_argument("--sac_net", default="mlp", choices=["mlp", "lstm"],
+                   help="mlp = ActorCriticMLP; lstm = recurrent "
+                        "ActorCriticLSTM (LSTM + feed-forward branch)")
     return p.parse_args(argv)
 
 
@@ -373,7 +376,10 @@ def main(argv=None):
         )
     elif args.agent == "sac":
         from seed_rl_tpu.agents import sac
-        from seed_rl_tpu.models.sac_nets import ActorCriticMLP
+        from seed_rl_tpu.models.sac_nets import (
+            ActorCriticLSTM,
+            ActorCriticMLP,
+        )
         from seed_rl_tpu.rollout import RolloutEngine
 
         assert location == "device", "SAC CLI currently drives JAX envs"
@@ -381,13 +387,19 @@ def main(argv=None):
         dist = pd.get_parametric_distribution_for_action_space(space)
         import gymnasium as gym
 
-        net = ActorCriticMLP(
-            parametric_distribution_param_size=dist.param_size,
-            n_critics=2,
-            action_dim=1
-            if isinstance(space, gym.spaces.Discrete)
-            else None,
-        )
+        action_dim = 1 if isinstance(space, gym.spaces.Discrete) else None
+        if args.sac_net == "lstm":
+            net = ActorCriticLSTM(
+                parametric_distribution_param_size=dist.param_size,
+                n_critics=2,
+                action_dim=action_dim,
+            )
+        else:
+            net = ActorCriticMLP(
+                parametric_distribution_param_size=dist.param_size,
+                n_critics=2,
+                action_dim=action_dim,
+            )
         agent = sac.SACAgent(net, dist)
         her_window = args.her_window_length or None
         engine = RolloutEngine(

@@ -133,3 +133,146 @@ def test_sac_discrete_actor_uses_pg_path():
     # Categorical distribution is not reparametrizable -> PG actor loss.
     dist = pd.CategoricalDistribution(5)
     assert not dist.reparametrizable
+
+
+def _make_recurrent_net(dist, n_critics=2):
+    from seed_rl_tpu.models.sac_nets import ActorCriticLSTM
+
+    return ActorCriticLSTM(
+        parametric_distribution_param_size=dist.param_size,
+        n_critics=n_critics,
+        lstm_sizes=(16,),
+        pre_mlp_sizes=(16,),
+        post_mlp_sizes=(16,),
+        ff_mlp_sizes=(16,),
+    )
+
+
+def _random_recurrent_inputs(rng, t, b, obs_dim, act_dim):
+    from seed_rl_tpu.types import EnvOutput
+
+    keys = jax.random.split(rng, 4)
+    obs = jax.random.normal(keys[0], (t, b, obs_dim))
+    done = jax.random.bernoulli(keys[1], 0.3, (t, b))
+    prev_action = jax.random.normal(keys[2], (t, b, act_dim))
+    env_outputs = EnvOutput(
+        reward=jnp.zeros((t, b)),
+        done=done,
+        observation=obs,
+        abandoned=jnp.zeros((t, b), bool),
+        episode_step=jnp.zeros((t, b), jnp.int32),
+    )
+    return prev_action, env_outputs
+
+
+def test_recurrent_sac_step_matches_time_major_unroll():
+    """step() T times == one time-major get_* pass (shared params + resets)."""
+    t, b, obs_dim, act_dim = 5, 3, 4, 2
+    dist = pd.NormalTanhDistribution(act_dim)
+    net = _make_recurrent_net(dist)
+    prev_action, env_outputs = _random_recurrent_inputs(
+        jax.random.PRNGKey(1), t, b, obs_dim, act_dim
+    )
+    step0 = jax.tree.map(lambda x: x[0], (prev_action, env_outputs))
+    params = net.init(
+        jax.random.PRNGKey(0), step0[0], step0[1], net.initial_state(b)
+    )
+
+    # Sequential single-step path.
+    state = net.initial_state(b)
+    stepwise = []
+    for i in range(t):
+        pa, eo = jax.tree.map(lambda x: x[i], (prev_action, env_outputs))
+        out, state = net.apply(params, pa, eo, state, method=net.step)
+        stepwise.append(out)
+    stepwise = jnp.stack(stepwise)
+
+    # Time-major training path from the same initial state.
+    time_major = net.apply(
+        params, prev_action, env_outputs, net.initial_state(b),
+        method=net.get_action_params,
+    )
+    np.testing.assert_allclose(
+        np.asarray(stepwise), np.asarray(time_major), rtol=2e-5, atol=2e-5
+    )
+
+    # Q/V heads consume the same state tuple and produce [T, B, ...] outputs.
+    v = net.apply(
+        params, prev_action, env_outputs, net.initial_state(b),
+        method=net.get_v,
+    )
+    q = net.apply(
+        params, prev_action, env_outputs, net.initial_state(b),
+        jnp.zeros((t, b, act_dim)), method=net.get_q,
+    )
+    assert v.shape == (t, b)
+    assert q.shape == (t, b, 2)
+
+
+def test_recurrent_sac_goalenv_withholds_desired_goal():
+    """Changing desired_goal must not change the recurrent carry."""
+    from seed_rl_tpu.types import EnvOutput
+
+    b, n_bits = 3, 4
+    dist = pd.CategoricalDistribution(n_bits + 1)
+    net = _make_recurrent_net(dist, n_critics=1)
+    rng = jax.random.PRNGKey(2)
+    obs = {
+        "achieved_goal": jax.random.normal(rng, (b, n_bits)),
+        "desired_goal": jnp.zeros((b, n_bits)),
+        "observation": jax.random.normal(rng, (b, 6)),
+    }
+    env_output = EnvOutput(
+        reward=jnp.zeros((b,)),
+        done=jnp.zeros((b,), bool),
+        observation=obs,
+        abandoned=jnp.zeros((b,), bool),
+        episode_step=jnp.zeros((b,), jnp.int32),
+    )
+    prev_action = jnp.zeros((b, 1))
+    params = net.init(
+        jax.random.PRNGKey(0), prev_action, env_output, net.initial_state(b)
+    )
+    _, state_a = net.apply(
+        params, prev_action, env_output, net.initial_state(b), method=net.step
+    )
+    shifted = env_output._replace(
+        observation=dict(obs, desired_goal=jnp.ones((b, n_bits)))
+    )
+    out_b, state_b = net.apply(
+        params, prev_action, shifted, net.initial_state(b), method=net.step
+    )
+    for la, lb in zip(jax.tree.leaves(state_a), jax.tree.leaves(state_b)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb))
+    # ...but the feed-forward branch (actor output) does see the goal.
+    out_a, _ = net.apply(
+        params, prev_action, env_output, net.initial_state(b), method=net.step
+    )
+    assert not np.allclose(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_recurrent_sac_trains_end_to_end():
+    num_envs = 8
+    env = BatchedEnv(ToyEnv(horizon=3), num_envs)
+    dist = pd.NormalTanhDistribution(3)
+    net = _make_recurrent_net(dist)
+    agent = sac.SACAgent(net, dist)
+    engine = RolloutEngine(env, agent, unroll_length=4)
+    config = sac.SACConfig(
+        discounting=0.9,
+        entropy_cost=0.05,
+        batch_size=16,
+        replay_buffer_size=256,
+        replay_buffer_min_size=32,
+        unroll_length=4,
+        polyak=0.95,
+    )
+    learner = sac.SACLearner(engine, agent, config, optax.adam(1e-3))
+    state = jax.jit(learner.init)(jax.random.PRNGKey(0))
+    warmup = jax.jit(learner.warmup_step)
+    while int(state.replay.num_inserted) < config.replay_buffer_min_size:
+        state = warmup(state)
+    state, metrics = jax.jit(learner.train_step)(state)
+    assert np.isfinite(float(metrics["losses/total"]))
+    # Recurrent carries ride the stored unrolls: state tuple per net.
+    assert len(state.rollout.agent_state) == 4  # actor, v, q0, q1
