@@ -65,6 +65,7 @@ class InferenceBridge:
         num_overlapping_steps: int = 0,
         unroll_queue_max_size: int = 64,
         example_action=None,
+        profile_inference_return=None,
     ):
         import jax
         import jax.numpy as jnp
@@ -84,6 +85,9 @@ class InferenceBridge:
         self.unroll_queue: "queue.Queue" = queue.Queue(unroll_queue_max_size)
         self.run_ids = np.zeros((num_envs,), np.int64)
         self._rng = jax.random.PRNGKey(np.random.randint(2**31))
+        # Stage-isolating early return (reference --profile_inference_return,
+        # agents/policy_gradient/learner_config.py:24-29). None == END.
+        self.profile_inference_return = profile_inference_return
 
         # Dense per-env state (numpy mirrors of the reference Aggregators).
         state0 = agent.initial_state(num_envs)
@@ -107,9 +111,30 @@ class InferenceBridge:
 
         self._policy_step = jax.jit(policy_step)
 
+    def _zero_actions(self, n):
+        if self._prev_actions is not None:
+            return (
+                np.zeros(
+                    (n,) + self._prev_actions.shape[1:],
+                    self._prev_actions.dtype,
+                ),
+            )
+        return (
+            np.broadcast_to(
+                np.zeros_like(self._example_action),
+                (n,) + self._example_action.shape,
+            ).copy(),
+        )
+
     def handler(self, env_ids: np.ndarray, request):
         """InferenceServer handler: request = (run_id i64, EnvOutput)."""
         import jax
+
+        from seed_rl_tpu.utils.profiling import InferenceReturn
+
+        stage = self.profile_inference_return
+        if stage == InferenceReturn.INSTANTLY:
+            return self._zero_actions(len(env_ids))
 
         run_ids, env_output = request
 
@@ -151,6 +176,9 @@ class InferenceBridge:
         else:
             prev_action = self._prev_actions[kept_env_ids]
 
+        if stage == InferenceReturn.BEFORE_INFERENCE:
+            return self._zero_actions(len(env_ids))
+
         params = self.params_fn()
         import jax.numpy as jnp
 
@@ -187,12 +215,18 @@ class InferenceBridge:
             else np.asarray(prev_action)
         )
 
+        if stage == InferenceReturn.AFTER_INFERENCE:
+            self._prev_actions[kept_env_ids] = actions
+            return self._zero_actions(len(env_ids))
+
         # Append to the unroll store: (prev_action, env_output, agent_output).
         completed_ids, unrolls = self.store.append(
             kept_env_ids,
             (old_prev_actions, kept_output, agent_output),
         )
         self._prev_actions[kept_env_ids] = actions
+        if stage == InferenceReturn.AFTER_UNROLL:
+            return self._zero_actions(len(env_ids))
         if len(completed_ids):
             first_states = jax.tree.map(
                 lambda x: x[completed_ids], self._unroll_first_states
@@ -275,32 +309,51 @@ def actor_loop(
     num_steps: Optional[int] = None,
     env_id_offset: int = 0,
     max_reconnects: int = 10,
+    timer_export_fn=None,
 ):
     """Steps a HostBatchedEnv group against an inference client.
 
     ``client.inference(env_id, run_id, env_output_row, raw_reward) ->
     action``; batching happens server-side. One random int64 run_id per
-    process life (regenerated on reconnect).
+    process life (regenerated on reconnect). When ``timer_export_fn`` is
+    set, windowed-average wall-clock timings are exported as
+    ``actor/elapsed_inference_s`` / ``actor/elapsed_env_step_s`` /
+    ``actor/elapsed_env_reset_s`` (reference common/actor.py:100-110 +
+    profiling.py:42-76).
     """
+    from seed_rl_tpu.utils.profiling import ExportingTimer
+
+    inference_timer = ExportingTimer(
+        "actor/elapsed_inference_s", 100, timer_export_fn
+    )
+    env_step_timer = ExportingTimer(
+        "actor/elapsed_env_step_s", 100, timer_export_fn
+    )
+    env_reset_timer = ExportingTimer(
+        "actor/elapsed_env_reset_s", 1, timer_export_fn
+    )
     reconnects = 0
     steps_done = 0
     while True:
         try:
             env = create_env_fn()
             run_id = np.random.randint(1, 2**62, dtype=np.int64)
-            output = env.reset()
+            with env_reset_timer:
+                output = env.reset()
             n = env.num_envs
             import jax
 
             while num_steps is None or steps_done < num_steps:
                 actions = []
-                for i in range(n):
-                    row = jax.tree.map(lambda x: x[i], output)
-                    action = client.inference(
-                        env_id_offset + i, run_id, row, row.reward
-                    )
-                    actions.append(np.asarray(action))
-                output = env.step(np.stack(actions))
+                with inference_timer:
+                    for i in range(n):
+                        row = jax.tree.map(lambda x: x[i], output)
+                        action = client.inference(
+                            env_id_offset + i, run_id, row, row.reward
+                        )
+                        actions.append(np.asarray(action))
+                with env_step_timer:
+                    output = env.step(np.stack(actions))
                 steps_done += 1
             env.close()
             return steps_done

@@ -63,6 +63,11 @@ def parse_args(argv=None):
     p.add_argument("--epochs_per_step", type=int, default=10)
     p.add_argument("--batch_mode", default="split")
     p.add_argument("--batches_per_step", type=int, default=32)
+    # Count-based action points on a frame linspace (reference PPO
+    # learner.py:436-471); 0 disables (time-based cadence still applies).
+    p.add_argument("--num_checkpoints", type=int, default=0)
+    p.add_argument("--num_saved_models", type=int, default=0)
+    p.add_argument("--num_snapshots", type=int, default=0)
     # R2D2.
     p.add_argument("--burn_in", type=int, default=40)
     p.add_argument("--n_steps", type=int, default=5)
@@ -144,7 +149,9 @@ def main(argv=None):
     env, location = make_env(args)
     logger = MetricsLogger(args.logdir)
     checkpoint = CheckpointManager(
-        args.logdir, save_checkpoint_secs=args.save_checkpoint_secs
+        args.logdir,
+        save_checkpoint_secs=args.save_checkpoint_secs,
+        init_checkpoint=args.init_checkpoint,
     )
     rng = jax.random.PRNGKey(0)
     optimizer = optax.chain(
@@ -291,13 +298,27 @@ def main(argv=None):
                 )
             )
             from seed_rl_tpu.utils import episode_stats
+            from seed_rl_tpu.utils.action_points import (
+                ActionPointSchedule,
+                snapshot_ppo_state,
+            )
 
+            schedule = ActionPointSchedule(
+                args.total_environment_frames,
+                {
+                    "checkpoint": args.num_checkpoints,
+                    "saved_model": args.num_saved_models,
+                    "snapshot": args.num_snapshots,
+                },
+            )
+            snapshots = []
             while (
                 int(state.step) * learner.frames_per_step
                 < args.total_environment_frames
             ):
                 state, metrics = run(state)
                 step = int(state.step)
+                frames = step * learner.frames_per_step
                 if step % args.log_every_steps < args.steps_per_call:
                     stats = state.stats
                     n = float(stats.num_episodes)
@@ -309,9 +330,22 @@ def main(argv=None):
                         state = state._replace(
                             stats=episode_stats.reset_window(stats)
                         )
-                    logger.log(
-                        step, metrics, frames=step * learner.frames_per_step
-                    )
+                    logger.log(step, metrics, frames=frames)
+                for action in schedule.due(frames):
+                    if action == "checkpoint":
+                        checkpoint.maybe_save(step, state, force=True)
+                    elif action == "saved_model" and args.logdir:
+                        from seed_rl_tpu.utils.export import export_policy
+
+                        export_policy(
+                            f"{args.logdir}/saved_models/{frames}",
+                            agent,
+                            learner.rollout_params(state),
+                            state.rollout.prev_action,
+                            state.rollout.env_output,
+                        )
+                    elif action == "snapshot":
+                        snapshots.append(snapshot_ppo_state(state, frames))
                 checkpoint.maybe_save(step, state)
             checkpoint.maybe_save(int(state.step), state, force=True)
         else:

@@ -19,9 +19,13 @@ class CheckpointManager:
         save_checkpoint_secs: float = 1800.0,
         max_to_keep: int = 1,
         keep_period_hours: float = 6.0,
+        init_checkpoint: Optional[str] = None,
     ):
         self._mngr = None
         self._save_secs = save_checkpoint_secs
+        # Warm-start source, used only when there is nothing to resume from
+        # (reference --init_checkpoint, agents/vtrace/learner.py:287-289).
+        self._init_checkpoint = init_checkpoint
         # Force an immediate save of the initial state, like the reference's
         # `last_ckpt_time = 0`.
         self._last_save = 0.0
@@ -38,6 +42,8 @@ class CheckpointManager:
     def restore_or(self, state: Any) -> Any:
         """Restore the latest checkpoint if present, else return ``state``."""
         if self._mngr is None or self._mngr.latest_step() is None:
+            if self._init_checkpoint:
+                return restore_from(self._init_checkpoint, state)
             return state
         restored = self._mngr.restore(
             self._mngr.latest_step(),

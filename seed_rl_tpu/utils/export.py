@@ -19,12 +19,29 @@ def _register_pytree_serialization():
     """Registers the framework NamedTuples with jax.export (idempotent)."""
     from jax import export as jax_export
 
+    from seed_rl_tpu.ops.running_statistics import (
+        AverageState,
+        EMAState,
+        TwoLevelState,
+    )
     from seed_rl_tpu.types import AgentOutput, EnvOutput, QAgentOutput
 
-    for cls in (EnvOutput, AgentOutput, QAgentOutput):
+    for cls in (
+        EnvOutput,
+        AgentOutput,
+        QAgentOutput,
+        # Normalization tracker states ride in the params of normalizing
+        # agents (NormalizingPolicyAgent obs_norm), so exported policies
+        # must serialize them too.
+        EMAState,
+        AverageState,
+        TwoLevelState,
+    ):
         try:
             jax_export.register_namedtuple_serialization(
-                cls, serialized_name=f"seed_rl_tpu.types.{cls.__name__}"
+                cls,
+                serialized_name=f"seed_rl_tpu.{cls.__module__.split('.')[-1]}"
+                f".{cls.__name__}",
             )
         except ValueError:
             pass  # already registered
