@@ -107,3 +107,73 @@ class PolicyAgent:
         return self.policy_step(
             params, prev_actions, env_outputs, core_state, rng
         )
+
+
+class NormalizingObservationsAgent:
+    """Observation-normalizing wrapper around a ``PolicyAgent``.
+
+    Capability parity with the reference's ``NormalizeObservationsWrapper``
+    (common/normalizer.py:155-211) as used by the V-trace learner
+    (agents/vtrace/learner.py:277-278): observations are normalized by
+    streaming mean/std statistics before the policy network sees them, and
+    the statistics are folded in once per training step
+    (``update_observation_normalization`` == the reference's
+    ``end_of_training_step_callback``).
+
+    The wrapped agent's parameter tree is ``{"policy": inner_params,
+    "obs_norm": NormalizerState}`` — learners treat it opaquely.
+    """
+
+    def __init__(self, inner: PolicyAgent, eps: float = 0.001,
+                 clip_range=(-5.0, 5.0)):
+        from seed_rl_tpu.ops import normalizer as obs_normalizer
+
+        self._norm = obs_normalizer
+        self.inner = inner
+        self.distribution = inner.distribution
+        self.eps = eps
+        self.clip_range = clip_range
+
+    def init_params(self, rng, prev_action, env_output: EnvOutput):
+        width = sum(
+            int(leaf.shape[-1])
+            for leaf in jax.tree.leaves(env_output.observation)
+        )
+        return {
+            "policy": self.inner.init_params(rng, prev_action, env_output),
+            "obs_norm": self._norm.init(width),
+        }
+
+    def initial_state(self, batch_size: int):
+        return self.inner.initial_state(batch_size)
+
+    def _normalized(self, params, env_outputs: EnvOutput) -> EnvOutput:
+        observation = self._norm.normalize_observation(
+            params["obs_norm"], env_outputs.observation, self.eps,
+            self.clip_range,
+        )
+        return env_outputs._replace(observation=observation)
+
+    def policy_step(self, params, prev_action, env_output, core_state, rng,
+                    deterministic: bool = False):
+        return self.inner.policy_step(
+            params["policy"], prev_action,
+            self._normalized(params, env_output), core_state, rng,
+            deterministic,
+        )
+
+    def unroll(self, params, prev_actions, env_outputs, core_state):
+        return self.inner.unroll(
+            params["policy"], prev_actions,
+            self._normalized(params, env_outputs), core_state,
+        )
+
+    def update_observation_normalization(self, params, observation,
+                                         axis_name=None):
+        """End-of-training-step statistics fold (normalizer.py:197-198)."""
+        return dict(
+            params,
+            obs_norm=self._norm.update_from_observation(
+                params["obs_norm"], observation, axis_name
+            ),
+        )

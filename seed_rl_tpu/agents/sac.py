@@ -41,35 +41,94 @@ from seed_rl_tpu.utils import episode_stats
 
 
 class SACAgent:
-    """Rollout-facing wrapper: samples actions from the actor head."""
+    """Rollout-facing wrapper: samples actions from the actor head.
 
-    def __init__(self, net, distribution: ParametricDistribution):
+    With ``normalize_observations=True`` the agent reproduces the
+    reference's ``NormalizeObservationsWrapper`` around SAC policies
+    (common/normalizer.py:155-211 incl. the get_Q/get_V coverage): every
+    head sees streaming-mean/std-normalized observations, and the param
+    tree becomes ``{"policy": net_params, "obs_norm": NormalizerState}``
+    (stats folded once per rollout by the learner).
+    """
+
+    def __init__(
+        self,
+        net,
+        distribution: ParametricDistribution,
+        normalize_observations: bool = False,
+        normalizer_eps: float = 0.001,
+        normalizer_clip_range=(-5.0, 5.0),
+    ):
         self.net = net
         self.distribution = distribution
+        self.normalize_observations = normalize_observations
+        self._norm_eps = normalizer_eps
+        self._norm_clip = normalizer_clip_range
+
+    def _net_params(self, params):
+        return params["policy"] if self.normalize_observations else params
+
+    def _normalized(self, params, env_output):
+        if not self.normalize_observations:
+            return env_output
+        from seed_rl_tpu.ops import normalizer as obs_normalizer
+
+        observation = obs_normalizer.normalize_observation(
+            params["obs_norm"], env_output.observation, self._norm_eps,
+            self._norm_clip,
+        )
+        return env_output._replace(observation=observation)
+
+    def update_observation_normalization(self, params, observation,
+                                         axis_name=None):
+        from seed_rl_tpu.ops import normalizer as obs_normalizer
+
+        return dict(
+            params,
+            obs_norm=obs_normalizer.update_from_observation(
+                params["obs_norm"], observation, axis_name
+            ),
+        )
 
     def init_params(self, rng, prev_action, env_output):
         batch = jax.tree.leaves(env_output.observation)[0].shape[0]
-        return self.net.init(
+        net_params = self.net.init(
             rng, prev_action, env_output, self.net.initial_state(batch)
         )
+        if not self.normalize_observations:
+            return net_params
+        from seed_rl_tpu.ops import normalizer as obs_normalizer
+
+        width = sum(
+            int(leaf.shape[-1])
+            for leaf in jax.tree.leaves(env_output.observation)
+        )
+        return {
+            "policy": net_params,
+            "obs_norm": obs_normalizer.init(width),
+        }
 
     def initial_state(self, batch_size):
         return self.net.initial_state(batch_size)
 
     def action_params(self, params, prev_action, env_output, state):
+        env_output = self._normalized(params, env_output)
         return self.net.apply(
-            params, prev_action, env_output, state,
+            self._net_params(params), prev_action, env_output, state,
             method=self.net.get_action_params,
         )
 
     def v(self, params, prev_action, env_output, state):
+        env_output = self._normalized(params, env_output)
         return self.net.apply(
-            params, prev_action, env_output, state, method=self.net.get_v
+            self._net_params(params), prev_action, env_output, state,
+            method=self.net.get_v,
         )
 
     def q(self, params, prev_action, env_output, state, action):
+        env_output = self._normalized(params, env_output)
         return self.net.apply(
-            params, prev_action, env_output, state, action,
+            self._net_params(params), prev_action, env_output, state, action,
             method=self.net.get_q,
         )
 
@@ -84,7 +143,8 @@ class SACAgent:
         else:
             # Recurrent net (ActorCriticLSTM): advance every net's carry.
             action_params, core_state = self.net.apply(
-                params, prev_action, env_output, core_state,
+                self._net_params(params), prev_action,
+                self._normalized(params, env_output), core_state,
                 method=self.net.step,
             )
         if deterministic:
@@ -369,8 +429,18 @@ class SACLearner:
             lambda x: x[1:], unroll.timesteps.env_output
         )
         stats = episode_stats.update(state.stats, new_steps)
+        params = state.params
+        if self.agent.normalize_observations:
+            # Fold fresh observations into the normalization statistics
+            # (reference end_of_training_step_callback, normalizer.py:197).
+            params = dict(
+                params,
+                net=self.agent.update_observation_normalization(
+                    params["net"], new_steps.observation
+                ),
+            )
         return state._replace(
-            rollout=rollout_state, replay=replay, stats=stats
+            params=params, rollout=rollout_state, replay=replay, stats=stats
         )
 
     def warmup_step(self, state):

@@ -227,6 +227,18 @@ class VTraceLearner:
             params["entropy_cost"], -20.0 / mul, 20.0 / mul
         )
 
+        # Observation-normalization statistics fold, once per training step
+        # (reference end_of_training_step_callback, vtrace learner.py:277-278).
+        if hasattr(self.agent, "update_observation_normalization"):
+            params = dict(
+                params,
+                net=self.agent.update_observation_normalization(
+                    params["net"],
+                    unroll.timesteps.env_output.observation,
+                    self.axis_name,
+                ),
+            )
+
         # Episode accounting on the T new timesteps (skip the shared boundary
         # step, which the previous unroll already counted).
         new_env_outputs = jax.tree.map(

@@ -82,6 +82,9 @@ def parse_args(argv=None):
     p.add_argument("--sac_net", default="mlp", choices=["mlp", "lstm"],
                    help="mlp = ActorCriticMLP; lstm = recurrent "
                         "ActorCriticLSTM (LSTM + feed-forward branch)")
+    p.add_argument("--normalize_observations", action="store_true",
+                   help="streaming mean/std observation normalization for "
+                        "vtrace/sac (reference NormalizeObservationsWrapper)")
     return p.parse_args(argv)
 
 
@@ -179,6 +182,10 @@ def main(argv=None):
                 parametric_distribution_param_size=dist.param_size
             )
         agent = PolicyAgent(net, dist)
+        if args.normalize_observations:
+            from seed_rl_tpu.agent import NormalizingObservationsAgent
+
+            agent = NormalizingObservationsAgent(agent)
         config = vtrace_agent.VTraceConfig(
             discounting=args.discounting,
             entropy_cost=args.entropy_cost,
@@ -434,7 +441,10 @@ def main(argv=None):
                 n_critics=2,
                 action_dim=action_dim,
             )
-        agent = sac.SACAgent(net, dist)
+        agent = sac.SACAgent(
+            net, dist,
+            normalize_observations=args.normalize_observations,
+        )
         her_window = args.her_window_length or None
         engine = RolloutEngine(
             env, agent, her_window or args.unroll_length
