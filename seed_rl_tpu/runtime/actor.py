@@ -66,6 +66,7 @@ class InferenceBridge:
         unroll_queue_max_size: int = 64,
         example_action=None,
         profile_inference_return=None,
+        config=None,
     ):
         import jax
         import jax.numpy as jnp
@@ -88,6 +89,11 @@ class InferenceBridge:
         # Stage-isolating early return (reference --profile_inference_return,
         # agents/policy_gradient/learner_config.py:24-29). None == END.
         self.profile_inference_return = profile_inference_return
+        # Learner-is-source-of-truth config pushed to actors at connect
+        # (reference get_config RPC, ppo learner.py:1085-1092 +
+        # utils.py:1093-1110). Any picklable value; typically the dict from
+        # utils.config.serialize_config.
+        self.config = config
 
         # Dense per-env state (numpy mirrors of the reference Aggregators).
         state0 = agent.initial_state(num_envs)
@@ -110,6 +116,9 @@ class InferenceBridge:
             return out, state, rng
 
         self._policy_step = jax.jit(policy_step)
+
+    def get_config(self):
+        return self.config
 
     def _zero_actions(self, n):
         if self._prev_actions is not None:
@@ -310,6 +319,7 @@ def actor_loop(
     env_id_offset: int = 0,
     max_reconnects: int = 10,
     timer_export_fn=None,
+    apply_config_fn=None,
 ):
     """Steps a HostBatchedEnv group against an inference client.
 
@@ -336,6 +346,12 @@ def actor_loop(
     steps_done = 0
     while True:
         try:
+            # Adopt the learner's pushed config before building envs
+            # (reference update_config at actor.py:75).
+            if apply_config_fn is not None and hasattr(client, "get_config"):
+                pushed = client.get_config()
+                if pushed is not None:
+                    apply_config_fn(pushed)
             env = create_env_fn()
             run_id = np.random.randint(1, 2**62, dtype=np.int64)
             with env_reset_timer:
@@ -367,8 +383,9 @@ def actor_loop(
 class BridgeClient:
     """Adapts InferenceServer to the reference actor call convention."""
 
-    def __init__(self, server):
+    def __init__(self, server, bridge=None):
         self._server = server
+        self._bridge = bridge
 
     def inference(self, env_id, run_id, env_output, raw_reward):
         del raw_reward  # tracked learner-side via EnvOutput.reward
@@ -376,3 +393,7 @@ class BridgeClient:
             env_id, (np.int64(run_id), env_output)
         )
         return action
+
+    def get_config(self):
+        """Fetch the learner's pushed config (reference get_config RPC)."""
+        return self._bridge.get_config() if self._bridge is not None else None
