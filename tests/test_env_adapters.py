@@ -143,3 +143,64 @@ def test_gfootball_net_forward_with_packed_obs():
     (logits, baseline), _ = net.apply(params, prev_action, env_output, ())
     assert logits.shape == (B, 19)
     assert baseline.shape == (B,)
+
+
+def test_atari_nets_step_matches_time_major_unroll():
+    """Folded-torso training path == sequential step path (shared params)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from seed_rl_tpu.models.atari import AtariPolicyNet, DuelingLSTMDQNNet
+    from seed_rl_tpu.types import EnvOutput
+
+    t, b = 5, 3
+    rng = jax.random.PRNGKey(0)
+    frames = jax.random.randint(rng, (t, b, 84, 84, 1), 0, 256, jnp.int32)
+    frames = frames.astype(jnp.uint8)
+    done = jax.random.bernoulli(jax.random.PRNGKey(1), 0.3, (t, b))
+    env_outputs = EnvOutput(
+        reward=jax.random.normal(jax.random.PRNGKey(2), (t, b)),
+        done=done,
+        observation=frames,
+        abandoned=jnp.zeros((t, b), bool),
+        episode_step=jnp.zeros((t, b), jnp.int32),
+    )
+    prev_actions = jax.random.randint(
+        jax.random.PRNGKey(3), (t, b), 0, 6, jnp.int32
+    )
+
+    for net in (
+        DuelingLSTMDQNNet(num_actions=6, lstm_size=32),
+        AtariPolicyNet(
+            parametric_distribution_param_size=6, lstm_size=32
+        ),
+    ):
+        step0 = jax.tree.map(lambda x: x[0], (prev_actions, env_outputs))
+        state0 = net.initial_state(b)
+        params = net.init(jax.random.PRNGKey(4), step0[0], step0[1], state0)
+
+        # Sequential step path.
+        state = net.initial_state(b)
+        outs = []
+        for i in range(t):
+            pa, eo = jax.tree.map(lambda x: x[i], (prev_actions, env_outputs))
+            out, state = net.apply(params, pa, eo, state)
+            outs.append(out)
+        stepwise = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+
+        # Time-major fast path.
+        fast, fast_state = net.apply(
+            params, prev_actions, env_outputs, net.initial_state(b),
+            method=net.unroll_time_major,
+        )
+        for a, b_ in zip(jax.tree.leaves(stepwise), jax.tree.leaves(fast)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=2e-5, atol=2e-5
+            )
+        for a, b_ in zip(
+            jax.tree.leaves(state), jax.tree.leaves(fast_state)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=2e-5, atol=2e-5
+            )
