@@ -127,6 +127,7 @@ class _LSTMCoreStep(nn.Module):
     """(carry, (x, done)) -> (carry, out): done-masked reset + LSTM cell."""
 
     lstm_size: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, carry, xs):
@@ -134,13 +135,13 @@ class _LSTMCoreStep(nn.Module):
         core_state = reset_state_where_done(
             done, carry, lstm_initial_state((self.lstm_size,), done.shape[0])
         )
-        new_core, out = nn.OptimizedLSTMCell(self.lstm_size, name="lstm")(
-            core_state[0], x
-        )
-        return (new_core,), out
+        new_core, out = nn.OptimizedLSTMCell(
+            self.lstm_size, dtype=self.dtype, name="lstm"
+        )(core_state[0], x)
+        return (new_core,), jnp.asarray(out, jnp.float32)
 
 
-def _scanned_core(lstm_size: int, name: str):
+def _scanned_core(lstm_size: int, name: str, dtype=jnp.float32):
     """Time-scanned LSTM core; step path calls it with T == 1."""
     return nn.scan(
         _LSTMCoreStep,
@@ -148,7 +149,7 @@ def _scanned_core(lstm_size: int, name: str):
         split_rngs={"params": False},
         in_axes=0,
         out_axes=0,
-    )(lstm_size, name=name)
+    )(lstm_size, dtype=dtype, name=name)
 
 
 def _fold_time(fn, x):
@@ -176,6 +177,9 @@ class DuelingLSTMDQNNet(nn.Module):
     stack_size: int = 4
     lstm_size: int = 512
     dtype: jnp.dtype = jnp.float32
+    # LSTM compute dtype; keep float32 for Q-learning numerics unless a
+    # throughput bench shows bf16 is safe for the workload.
+    core_dtype: jnp.dtype = jnp.float32
 
     @property
     def stateless(self) -> bool:
@@ -191,7 +195,7 @@ class DuelingLSTMDQNNet(nn.Module):
 
     def setup(self):
         self.torso = AtariConvTorso(dtype=self.dtype, name="torso")
-        self.core = _scanned_core(self.lstm_size, "core")
+        self.core = _scanned_core(self.lstm_size, "core", self.core_dtype)
         self.hidden_value = nn.Dense(512, name="hidden_value")
         self.value_head = nn.Dense(1, name="value_head")
         self.hidden_advantage = nn.Dense(512, name="hidden_advantage")
@@ -274,6 +278,7 @@ class AtariPolicyNet(nn.Module):
     stack_size: int = 4
     lstm_size: int = 0  # 0 = feed-forward
     dtype: jnp.dtype = jnp.float32
+    core_dtype: jnp.dtype = jnp.float32
 
     @property
     def stateless(self) -> bool:
@@ -297,7 +302,7 @@ class AtariPolicyNet(nn.Module):
     def setup(self):
         self.torso = AtariConvTorso(dtype=self.dtype, name="torso")
         if self.lstm_size:
-            self.core = _scanned_core(self.lstm_size, "core")
+            self.core = _scanned_core(self.lstm_size, "core", self.core_dtype)
         self.policy_head = nn.Dense(
             self.parametric_distribution_param_size, name="policy_logits"
         )
