@@ -297,6 +297,10 @@ class R2D2Learner:
             step=jnp.zeros((), jnp.int32),
         )
 
+    def rollout_params(self, state: R2D2TrainState):
+        """Parameters to run rollouts with (eval/driver use)."""
+        return state.params
+
     def _rollout_and_insert(self, state: R2D2TrainState):
         rollout_state, unroll = self.engine.rollout(
             state.params, state.rollout

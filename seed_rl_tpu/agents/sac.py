@@ -371,6 +371,10 @@ class SACLearner:
     def frames_per_step(self):
         return self._frames_per_step
 
+    def rollout_params(self, state: SACTrainState):
+        """Parameters to run rollouts with (eval/driver use)."""
+        return state.params["net"]
+
     def _unroll_to_items(self, unroll) -> StoredUnroll:
         ts = unroll.timesteps
 

@@ -38,6 +38,11 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--agent", required=True,
                    choices=["vtrace", "ppo", "r2d2", "sac"])
+    p.add_argument("--run_mode", default="train", choices=["train", "eval"],
+                   help="eval = restore from --logdir/--init_checkpoint and "
+                        "run deterministic-policy evaluation (reference "
+                        "run_eval / eval actors)")
+    p.add_argument("--eval_episodes", type=int, default=32)
     p.add_argument("--env", required=True,
                    choices=["toy", "toy_memory", "discrete_match",
                             "bit_flipping", "synthetic_atari", "mujoco",
@@ -143,6 +148,35 @@ def _action_space_of(env):
     return env.action_space
 
 
+def _maybe_eval(args, env, agent, learner, checkpoint, rng, location) -> bool:
+    """``--run_mode=eval``: restore + deterministic evaluation, one JSON line.
+
+    Capability parity with the reference's eval modes (PPO run_eval /
+    dedicated eval actors): deterministic inference, no unroll storage, no
+    training.
+    """
+    if args.run_mode != "eval":
+        return False
+    import json
+
+    from seed_rl_tpu.evaluation import run_eval
+
+    state = jax.jit(learner.init)(rng)
+    state = checkpoint.restore_or(state)
+    metrics = run_eval(
+        env,
+        agent,
+        learner.rollout_params(state),
+        jax.random.PRNGKey(1234),
+        args.eval_episodes,
+        unroll_length=args.unroll_length,
+        host=(location == "host"),
+    )
+    metrics["eval/restored_step"] = int(state.step)
+    print(json.dumps(metrics))
+    return True
+
+
 def main(argv=None):
     from seed_rl_tpu import distributions as pd
     from seed_rl_tpu.utils.checkpoint import CheckpointManager
@@ -197,6 +231,9 @@ def main(argv=None):
             learner = vtrace_agent.VTraceLearner(
                 engine, agent, config, optimizer
             )
+            if _maybe_eval(args, env, agent, learner, checkpoint, rng,
+                           location):
+                return
             if args.num_replicas != 1:
                 from seed_rl_tpu.parallel import DistributedLearner, make_mesh
 
@@ -220,6 +257,9 @@ def main(argv=None):
             learner = vtrace_agent.VTraceLearner(
                 engine, agent, config, optimizer
             )
+            if _maybe_eval(args, env, agent, learner, checkpoint, rng,
+                           location):
+                return
             host_learner_loop(
                 learner,
                 engine,
@@ -297,6 +337,9 @@ def main(argv=None):
 
             engine = RolloutEngine(env, agent, args.unroll_length)
             learner = PPOLearner(engine, agent, loss, config, optimizer)
+            if _maybe_eval(args, env, agent, learner, checkpoint, rng,
+                           location):
+                return
             state = jax.jit(learner.init)(rng)
             state = checkpoint.restore_or(state)
             run = jax.jit(
@@ -361,6 +404,9 @@ def main(argv=None):
 
             engine = HostRolloutEngine(env, agent, args.unroll_length)
             learner = PPOLearner(engine, agent, loss, config, optimizer)
+            if _maybe_eval(args, env, agent, learner, checkpoint, rng,
+                           location):
+                return
             host_learner_loop(
                 learner,
                 engine,
@@ -406,6 +452,8 @@ def main(argv=None):
             num_eval_envs=args.num_eval_envs,
         )
         learner = r2d2.R2D2Learner(engine, agent, config, optimizer)
+        if _maybe_eval(args, env, agent, learner, checkpoint, rng, location):
+            return
         r2d2.learner_loop(
             learner,
             rng,
@@ -467,6 +515,8 @@ def main(argv=None):
             engine, agent, config, optimizer,
             compute_reward_fn=compute_reward_fn,
         )
+        if _maybe_eval(args, env, agent, learner, checkpoint, rng, location):
+            return
         state = jax.jit(learner.init)(rng)
         state = checkpoint.restore_or(state)
         warmup = jax.jit(learner.warmup_step)

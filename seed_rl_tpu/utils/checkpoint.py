@@ -69,12 +69,82 @@ class CheckpointManager:
             self._mngr.close()
 
 
-def restore_from(path: str, state: Any) -> Any:
-    """Warm-start restore from an explicit checkpoint directory."""
-    mngr = ocp.CheckpointManager(os.path.abspath(os.path.join(path, "ckpt")))
+# Train-state fields that are environment-independent: exactly what a warm
+# start carries over (the reference's --init_checkpoint restores agent
+# variables, not actor/env state — agents/vtrace/learner.py:287-289).
+WARM_START_FIELDS = (
+    "params",
+    "target_net_params",
+    "target_params",
+    "opt_state",
+    "norm_state",
+    "obs_norm",
+    "step",
+)
+
+
+def _repack_saved(target: Any, saved: Any) -> Any:
+    """Rebuilds ``target``'s pytree structure from a restored nested-dict.
+
+    Orbax stores NamedTuples as dicts keyed by field name; walking the
+    target structure by name keeps leaves aligned regardless of dict key
+    ordering.
+    """
+    if hasattr(target, "_fields"):  # NamedTuple
+        return type(target)(
+            *(
+                _repack_saved(getattr(target, f), saved[f])
+                for f in target._fields
+            )
+        )
+    if isinstance(target, dict):
+        return {k: _repack_saved(v, saved[k]) for k, v in target.items()}
+    if isinstance(target, (list, tuple)):
+        return type(target)(
+            _repack_saved(v, saved[i]) for i, v in enumerate(target)
+        )
+    return saved
+
+
+def restore_from(path: str, state: Any, warm_start_only: bool = True) -> Any:
+    """Warm-start restore from an explicit checkpoint directory.
+
+    With ``warm_start_only`` (default) only the env-independent fields are
+    read (params/optimizer/normalizer/step); rollout, replay and episode
+    stats keep their freshly-initialized values, so a warm start works even
+    when ``num_envs`` or buffer sizes differ from the source run (matching
+    the reference's --init_checkpoint, which restores agent variables only).
+    """
+    import jax
+
+    mngr = ocp.CheckpointManager(
+        os.path.abspath(os.path.join(path, "ckpt")),
+        item_handlers={"default": ocp.StandardCheckpointHandler()},
+    )
     step = mngr.latest_step()
     if step is None:
         raise FileNotFoundError(f"No checkpoint under {path}")
-    restored = mngr.restore(step, args=ocp.args.StandardRestore(state))
+    if warm_start_only and hasattr(state, "_fields"):
+        # Restore the full stored tree at its OWN stored shapes (from
+        # checkpoint metadata), then copy over only the warm-start fields.
+        meta = mngr.item_metadata(step)["default"]
+        template = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype), meta.tree
+        )
+        restored = mngr.restore(
+            step,
+            args=ocp.args.Composite(
+                default=ocp.args.StandardRestore(template)
+            ),
+        )["default"]
+        keep = [f for f in state._fields if f in WARM_START_FIELDS]
+        result = state._replace(
+            **{
+                f: _repack_saved(getattr(state, f), restored[f])
+                for f in keep
+            }
+        )
+    else:
+        result = mngr.restore(step, args=ocp.args.StandardRestore(state))
     mngr.close()
-    return restored
+    return result

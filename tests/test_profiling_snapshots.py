@@ -170,3 +170,34 @@ def test_inference_bridge_profile_stages(stage):
         assert not bridge.unroll_queue.empty()
     else:
         assert bridge.unroll_queue.empty()
+
+
+def test_warm_start_restore_across_env_counts(tmp_path):
+    """--init_checkpoint semantics: agent vars restored, env state fresh,
+    works when num_envs differs from the source run."""
+    from test_ppo_learner import _make_ppo_learner
+
+    from seed_rl_tpu.utils.checkpoint import CheckpointManager, restore_from
+
+    src = _make_ppo_learner(num_envs=8, unroll_length=4,
+                            epochs_per_step=1, batches_per_step=2)
+    state = jax.jit(src.init)(jax.random.PRNGKey(0))
+    state, _ = jax.jit(src.train_step)(state)
+    ckpt = CheckpointManager(str(tmp_path), save_checkpoint_secs=0.0)
+    assert ckpt.maybe_save(int(state.step), state, force=True)
+    ckpt.close()
+
+    dst = _make_ppo_learner(num_envs=4, unroll_length=4,
+                            epochs_per_step=1, batches_per_step=2)
+    fresh = jax.jit(dst.init)(jax.random.PRNGKey(1))
+    warm = restore_from(str(tmp_path), fresh)
+    assert int(warm.step) == int(state.step)
+    for a, b in zip(
+        jax.tree.leaves(warm.params), jax.tree.leaves(state.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Env-bound state keeps the fresh 4-env shapes.
+    assert jax.tree.leaves(warm.rollout.env_output)[0].shape[0] == 4
+    # And training continues from the warm state.
+    nxt, _ = jax.jit(dst.train_step)(warm)
+    assert int(nxt.step) == int(state.step) + 1
