@@ -87,6 +87,10 @@ def parse_args(argv=None):
     p.add_argument("--sac_net", default="mlp", choices=["mlp", "lstm"],
                    help="mlp = ActorCriticMLP; lstm = recurrent "
                         "ActorCriticLSTM (LSTM + feed-forward branch)")
+    p.add_argument("--pipeline_host_rollouts", action="store_true",
+                   help="overlap host env stepping with the device update "
+                        "(one-step-stale behaviour params, reference actor "
+                        "concurrency semantics)")
     p.add_argument("--normalize_observations", action="store_true",
                    help="streaming mean/std observation normalization for "
                         "vtrace/sac (reference NormalizeObservationsWrapper)")
@@ -268,6 +272,7 @@ def main(argv=None):
                 logger=logger,
                 checkpoint=checkpoint,
                 log_every_steps=args.log_every_steps,
+                pipeline=args.pipeline_host_rollouts,
             )
     elif args.agent == "ppo":
         from seed_rl_tpu.agents.ppo import policy_losses
@@ -415,6 +420,7 @@ def main(argv=None):
                 logger=logger,
                 checkpoint=checkpoint,
                 log_every_steps=args.log_every_steps,
+                pipeline=args.pipeline_host_rollouts,
             )
     elif args.agent == "r2d2":
         from seed_rl_tpu.agents import r2d2
