@@ -79,6 +79,11 @@ def host_learner_loop(
             logger.log(step, metrics, frames=step * frames_per_step)
         if checkpoint is not None:
             checkpoint.maybe_save(step, state)
+    if pipeline and pending is not None:
+        # Train on the final collected unroll instead of discarding the
+        # already-paid-for env frames.
+        loop_rng, step_rng = jax.random.split(loop_rng)
+        state, _ = update(state, pending, step_rng)
     if checkpoint is not None:
         checkpoint.maybe_save(int(state.step), state, force=True)
     return state

@@ -187,6 +187,7 @@ def main(argv=None):
     from seed_rl_tpu.utils.metrics import MetricsLogger
 
     args = parse_args(argv)
+    result_snapshots = None  # in-memory LearnerState snapshots (PPO)
     env, location = make_env(args)
     logger = MetricsLogger(args.logdir)
     checkpoint = CheckpointManager(
@@ -386,23 +387,29 @@ def main(argv=None):
                             stats=episode_stats.reset_window(stats)
                         )
                     logger.log(step, metrics, frames=frames)
-                for action in schedule.due(frames):
-                    if action == "checkpoint":
-                        checkpoint.maybe_save(step, state, force=True)
-                    elif action == "saved_model" and args.logdir:
-                        from seed_rl_tpu.utils.export import export_policy
+                fired = schedule.due(frames)
+                # Jumped marks repeat in `fired`; identical state saved
+                # twice is pointless, so checkpoint/export dedupe per call
+                # while snapshots honour the requested count.
+                if "checkpoint" in fired:
+                    checkpoint.maybe_save(step, state, force=True)
+                if "saved_model" in fired and args.logdir:
+                    from seed_rl_tpu.utils.export import export_policy
 
-                        export_policy(
-                            f"{args.logdir}/saved_models/{frames}",
-                            agent,
-                            learner.rollout_params(state),
-                            state.rollout.prev_action,
-                            state.rollout.env_output,
-                        )
-                    elif action == "snapshot":
-                        snapshots.append(snapshot_ppo_state(state, frames))
+                    export_policy(
+                        f"{args.logdir}/saved_models/{frames}",
+                        agent,
+                        learner.rollout_params(state),
+                        state.rollout.prev_action,
+                        state.rollout.env_output,
+                    )
+                snapshots.extend(
+                    snapshot_ppo_state(state, frames)
+                    for _ in range(fired.count("snapshot"))
+                )
                 checkpoint.maybe_save(step, state)
             checkpoint.maybe_save(int(state.step), state, force=True)
+            result_snapshots = snapshots
         else:
             from seed_rl_tpu.host_loop import host_learner_loop
             from seed_rl_tpu.rollout_host import HostRolloutEngine
@@ -561,6 +568,9 @@ def main(argv=None):
         checkpoint.maybe_save(int(state.step), state, force=True)
     logger.flush()
     checkpoint.close()
+    # Programmatic callers get the in-memory snapshots (the reference
+    # returns LearnerState snapshots for warm-starting other learners).
+    return result_snapshots
 
 
 if __name__ == "__main__":

@@ -30,16 +30,21 @@ class ActionPointSchedule:
                 self._next[name] = 0
 
     def due(self, frames: int) -> List[str]:
-        """Actions whose next mark is <= ``frames`` (consumes the marks)."""
+        """Actions whose next mark is <= ``frames`` (consumes the marks).
+
+        Fires once PER crossed mark: if one driver call jumps several marks
+        the action repeats, so the requested count of
+        checkpoints/exports/snapshots is honoured (the reference instead
+        paces its minimize loop to stop at each point,
+        policy_gradient/learner.py:549-582 — same contract).
+        """
         fired = []
         for name, marks in self._marks.items():
             i = self._next[name]
-            if i < len(marks) and frames >= marks[i]:
-                # Skip any additional marks jumped over in one call.
-                while i < len(marks) and frames >= marks[i]:
-                    i += 1
-                self._next[name] = i
+            while i < len(marks) and frames >= marks[i]:
                 fired.append(name)
+                i += 1
+            self._next[name] = i
         return fired
 
 

@@ -114,6 +114,12 @@ def restore_from(path: str, state: Any, warm_start_only: bool = True) -> Any:
     stats keep their freshly-initialized values, so a warm start works even
     when ``num_envs`` or buffer sizes differ from the source run (matching
     the reference's --init_checkpoint, which restores agent variables only).
+
+    Note: orbax still materializes the full stored tree during the restore
+    (its partial-restore PLACEHOLDER path rejects the empty-tuple leaves in
+    rollout state), so warm-starting from a checkpoint with a huge replay
+    buffer temporarily costs that buffer's host memory/IO. Agent params are
+    tiny; if this matters, checkpoint on-policy learners for warm starts.
     """
     import jax
 

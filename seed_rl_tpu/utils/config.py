@@ -26,22 +26,22 @@ def validate_learner_config(
 ) -> int:
     """Validates sizes; returns the (possibly auto-tuned) inference batch.
 
-    Mirrors common/utils.py:989-1002: ``inference_batch_size == -1``/None
-    selects ``max(env_batch_size, num_envs // (2 * num_hosts))``; the batch
-    may never exceed the per-host env count.
+    Mirrors common/utils.py:989-1002 exactly: ``inference_batch_size ==
+    -1``/None selects ``max(env_batch_size, num_envs // (2 * num_hosts))``;
+    the batch must be an exact multiple of the actor-side env batch (so
+    actor batches pack evenly) and may never exceed the per-host env count.
     """
     assert num_envs > 0, "num_envs must be positive"
     assert env_batch_size > 0, "env_batch_size must be positive"
-    assert num_envs % env_batch_size == 0, (
-        f"num_envs ({num_envs}) must be a multiple of env_batch_size "
-        f"({env_batch_size})"
-    )
-    per_host = num_envs // num_hosts
     if inference_batch_size is None or inference_batch_size == -1:
         inference_batch_size = max(env_batch_size, num_envs // (2 * num_hosts))
-    assert inference_batch_size <= per_host, (
-        f"inference_batch_size ({inference_batch_size}) can't exceed the "
-        f"per-host env count ({per_host}): a batch would never fill"
+    assert inference_batch_size > 0
+    assert inference_batch_size % env_batch_size == 0, (
+        f"Learner-side batch size (={inference_batch_size}) must be exact "
+        f"multiple of the actor-side batch size (={env_batch_size})."
+    )
+    assert num_envs >= inference_batch_size * num_hosts, (
+        "Inference batch size is bigger than the number of environments."
     )
     return inference_batch_size
 

@@ -19,6 +19,7 @@ def _register_pytree_serialization():
     """Registers the framework NamedTuples with jax.export (idempotent)."""
     from jax import export as jax_export
 
+    from seed_rl_tpu.ops.normalizer import NormalizerState
     from seed_rl_tpu.ops.running_statistics import (
         AverageState,
         EMAState,
@@ -31,11 +32,12 @@ def _register_pytree_serialization():
         AgentOutput,
         QAgentOutput,
         # Normalization tracker states ride in the params of normalizing
-        # agents (NormalizingPolicyAgent obs_norm), so exported policies
-        # must serialize them too.
+        # agents (PPO obs_norm / V-trace-SAC NormalizerState), so exported
+        # policies must serialize them too.
         EMAState,
         AverageState,
         TwoLevelState,
+        NormalizerState,
     ):
         try:
             jax_export.register_namedtuple_serialization(

@@ -18,13 +18,15 @@ def test_inference_batch_size_auto_tune():
     assert validate_learner_config(640, 20, -1, num_hosts=4) == 80
     # Small fleets fall back to env_batch_size.
     assert validate_learner_config(40, 20, None, num_hosts=2) == 20
-    # Explicit values pass through.
-    assert validate_learner_config(640, 20, 64) == 64
+    # Explicit values pass through when they pack actor batches evenly.
+    assert validate_learner_config(640, 20, 60) == 60
 
 
 def test_validate_learner_config_rejects_bad_sizes():
     with pytest.raises(AssertionError):
-        validate_learner_config(100, 30)  # not a multiple
+        # Not an exact multiple of the actor-side env batch
+        # (reference common/utils.py:997-1000).
+        validate_learner_config(640, 20, 64)
     with pytest.raises(AssertionError):
         validate_learner_config(64, 16, 128)  # batch larger than fleet
 

@@ -39,9 +39,11 @@ def test_action_point_schedule_fires_each_mark_once():
     ]
 
 
-def test_action_point_schedule_skips_jumped_marks():
+def test_action_point_schedule_fires_per_jumped_mark():
     sched = ActionPointSchedule(100, {"checkpoint": 10})
-    assert sched.due(95) == ["checkpoint"]  # consumed 10..90 in one jump
+    # Marks 10..90 crossed in one jump -> one firing per mark, so the
+    # requested count is honoured.
+    assert sched.due(95) == ["checkpoint"] * 9
     assert sched.due(100) == ["checkpoint"]
     assert sched.due(100000) == []
 
