@@ -94,26 +94,44 @@ def stack_frame(observation, frame_state, done, stack_size: int):
 
 
 def stack_frames_time_major(observation, frame_state, done, stack_size: int):
-    """Frame stacking over a [T, B, H, W, 1] unroll (uint8 scan).
+    """Frame stacking over a [T, B, H, W, 1] unroll, vectorized over time.
 
-    A vectorized shifted-slice + segment-mask construction was benchmarked
-    and lost to this scan on TPU (the 4x-widened masked concatenate costs
-    more HBM traffic than the while loop saves).
+    Channel ``j`` (oldest..newest) of ``stacked[t]`` is ``obs[t - a]`` with
+    age ``a = stack_size-1-j``, zeroed if any episode boundary occurred in
+    steps ``t-a+1 .. t`` (done-masked history reset, exactly the semantics of
+    scanning ``stack_frame`` over time). Frames older than the unroll come
+    from ``frame_state`` and are additionally killed by any done in
+    ``0 .. t``. Expressed as shifted slices of one time-padded frame buffer
+    with cumulative-done masks: no sequential scan, and the masked
+    concatenate fuses into the consumer's input pipeline.
 
     Returns (stacked uint8[T, B, H, W, stack_size], final frame_state).
     """
     if stack_size == 1:
         return observation, ()
 
-    def step(h, xs):
-        obs, d = xs
-        stacked, h = stack_frame(obs, h, d, stack_size)
-        return h, stacked
-
-    frame_state, stacked = jax.lax.scan(
-        step, frame_state, (observation, done)
+    t_len = observation.shape[0]
+    s = stack_size
+    # History frames as pseudo-observations at t = -(s-1) .. -1.
+    hist = jnp.moveaxis(frame_state, -1, 0)[..., None]
+    frames = jnp.concatenate([hist, observation], axis=0)  # [T+s-1, B, ...]
+    cum = jnp.cumsum(done.astype(jnp.int32), axis=0)  # [T, B]
+    # cum_pad[s-1 + t] = cum[t]; indices < s-1 (t < 0) read 0.
+    cum_pad = jnp.concatenate(
+        [jnp.zeros((s - 1,) + done.shape[1:], jnp.int32), cum], axis=0
     )
-    return stacked, frame_state
+    parts = []
+    for j in range(s):
+        age = s - 1 - j
+        sl = jax.lax.slice_in_dim(frames, j, j + t_len, axis=0)
+        if age == 0:
+            parts.append(sl)
+            continue
+        # Survives iff no done in (t-age, t]: cum[t] - cum[t-age] == 0.
+        alive = cum_pad[s - 1 : s - 1 + t_len] == cum_pad[j : j + t_len]
+        parts.append(sl * alive[..., None, None, None].astype(sl.dtype))
+    stacked = jnp.concatenate(parts, axis=-1)
+    return stacked, stacked[-1][..., 1:]
 
 
 class AgentState(NamedTuple):
@@ -158,9 +176,17 @@ def _fold_time(fn, x):
     Feeding [T, B, ...] straight into nn.Conv (which accepts leading batch
     dims) was benchmarked ~3% slower than this explicit fold on TPU v5e,
     so the fold stands.
+
+    The optimization barrier pins the fold to the pre-cast (uint8) frames:
+    without it XLA hoists the torso's ``astype/255`` above the reshape and
+    then relays out the resulting bf16 stack twice (a copy + a reshape of
+    4x the bytes, ~14ms/step at bench shapes — traced on TPU v5e). With the
+    barrier the relayout happens on uint8 and the convert fuses into the
+    first conv's input pipeline (+5% end-to-end on bench.py).
     """
     t, b = x.shape[:2]
-    out = fn(x.reshape((t * b,) + x.shape[2:]))
+    folded = jax.lax.optimization_barrier(x.reshape((t * b,) + x.shape[2:]))
+    out = fn(folded)
     return out.reshape((t, b) + out.shape[1:])
 
 

@@ -38,11 +38,17 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--agent", required=True,
                    choices=["vtrace", "ppo", "r2d2", "sac"])
-    p.add_argument("--run_mode", default="train", choices=["train", "eval"],
+    p.add_argument("--run_mode", default="train",
+                   choices=["train", "eval", "profile"],
                    help="eval = restore from --logdir/--init_checkpoint and "
                         "run deterministic-policy evaluation (reference "
-                        "run_eval / eval actors)")
+                        "run_eval / eval actors); profile = capture a "
+                        "jax.profiler device trace of the hot training loop "
+                        "into <logdir>/profile (reference profiling "
+                        "subsystem, SURVEY.md §5)")
     p.add_argument("--eval_episodes", type=int, default=32)
+    p.add_argument("--profile_calls", type=int, default=5,
+                   help="train_many calls captured by --run_mode=profile")
     p.add_argument("--env", required=True,
                    choices=["toy", "toy_memory", "discrete_match",
                             "bit_flipping", "synthetic_atari", "mujoco",
@@ -181,6 +187,60 @@ def _maybe_eval(args, env, agent, learner, checkpoint, rng, location) -> bool:
     return True
 
 
+def _maybe_profile(args, learner, rng, location) -> bool:
+    """``--run_mode=profile``: trace the jitted training loop.
+
+    Captures a ``jax.profiler`` trace (xplane + trace.json, viewable in
+    TensorBoard's profile plugin / Perfetto) of ``--profile_calls``
+    compiled ``train_many`` calls after a warmup call, and prints one JSON
+    line with the trace directory and the measured throughput. This is the
+    rebuild's equivalent of the reference's tracing subsystem
+    (profiler::TraceMe around RPC calls + actor timers, SURVEY.md §5);
+    stage-isolating switches live in utils.profiling.InferenceReturn.
+    """
+    if args.run_mode != "profile":
+        return False
+    assert location == "device", (
+        "--run_mode=profile traces the on-device engine; host-env agents "
+        "are profiled via the actor-side ExportingTimer summaries"
+    )
+    import json
+    import time
+
+    state = jax.jit(learner.init)(rng)
+    if hasattr(learner, "warmup_step"):  # replay agents need a filled buffer
+        warmup = jax.jit(learner.warmup_step)
+        min_size = learner.config.replay_buffer_min_size
+        while int(state.replay.num_inserted) < min_size:
+            state = warmup(state)
+    run = jax.jit(
+        functools.partial(learner.train_many, num_steps=args.steps_per_call)
+    )
+    state, _ = run(state)  # compile + one warm execution
+    _ = int(state.step)
+    outdir = (args.logdir or "/tmp/seed_rl_tpu") + "/profile"
+    t0 = time.perf_counter()
+    with jax.profiler.trace(outdir):
+        for _ in range(args.profile_calls):
+            state, _ = run(state)
+        _ = int(state.step)  # force completion inside the trace window
+    dt = time.perf_counter() - t0
+    frames = (
+        args.profile_calls * args.steps_per_call * learner.frames_per_step
+    )
+    print(
+        json.dumps(
+            {
+                "profile_dir": outdir,
+                "frames_per_sec": round(frames / dt, 1),
+                "calls": args.profile_calls,
+                "steps_per_call": args.steps_per_call,
+            }
+        )
+    )
+    return True
+
+
 def main(argv=None):
     from seed_rl_tpu import distributions as pd
     from seed_rl_tpu.utils.checkpoint import CheckpointManager
@@ -238,6 +298,8 @@ def main(argv=None):
             )
             if _maybe_eval(args, env, agent, learner, checkpoint, rng,
                            location):
+                return
+            if _maybe_profile(args, learner, rng, location):
                 return
             if args.num_replicas != 1:
                 from seed_rl_tpu.parallel import DistributedLearner, make_mesh
@@ -345,6 +407,8 @@ def main(argv=None):
             learner = PPOLearner(engine, agent, loss, config, optimizer)
             if _maybe_eval(args, env, agent, learner, checkpoint, rng,
                            location):
+                return
+            if _maybe_profile(args, learner, rng, location):
                 return
             state = jax.jit(learner.init)(rng)
             state = checkpoint.restore_or(state)
@@ -467,6 +531,8 @@ def main(argv=None):
         learner = r2d2.R2D2Learner(engine, agent, config, optimizer)
         if _maybe_eval(args, env, agent, learner, checkpoint, rng, location):
             return
+        if _maybe_profile(args, learner, rng, location):
+            return
         r2d2.learner_loop(
             learner,
             rng,
@@ -529,6 +595,8 @@ def main(argv=None):
             compute_reward_fn=compute_reward_fn,
         )
         if _maybe_eval(args, env, agent, learner, checkpoint, rng, location):
+            return
+        if _maybe_profile(args, learner, rng, location):
             return
         state = jax.jit(learner.init)(rng)
         state = checkpoint.restore_or(state)
