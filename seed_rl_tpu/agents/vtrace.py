@@ -212,14 +212,16 @@ class VTraceLearner:
             ),
             has_aux=True,
         )
-        grads, metrics = grad_fn(state.params, unroll, rng)
+        with jax.named_scope("train_loss_and_grads"):
+            grads, metrics = grad_fn(state.params, unroll, rng)
         if self.axis_name is not None:
             grads = jax.lax.pmean(grads, self.axis_name)
 
-        updates, opt_state = self.optimizer.update(
-            grads, state.opt_state, state.params
-        )
-        params = optax.apply_updates(state.params, updates)
+        with jax.named_scope("train_apply_gradients"):
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
         # Reference clips the entropy-cost param to ±20/speed so its gradient
         # can't underflow (learner.py:228-231).
         mul = self.config.entropy_cost_adjustment_speed

@@ -141,6 +141,50 @@ def human_normalized_score(game: str, returns) -> float:
     return float((np.mean(returns) - random) / (human - random) * 100.0)
 
 
+class LevelCache:
+    """Compiled-level cache for procedurally generated DmLab maps.
+
+    Same contract as the reference (dmlab/env.py:57-80): deepmind_lab calls
+    ``fetch(key, pk3_path)`` before compiling a level (return True if the
+    cached .pk3 was copied into place) and ``write(key, pk3_path)`` after
+    compiling a new one. Keys are md5-hashed and fanned out into 3-hex-char
+    subdirectories. Works on any mounted filesystem path (local disk, NFS,
+    GCS via gcsfuse) — no TF gfile dependency.
+    """
+
+    def __init__(self, cache_dir: str):
+        self._cache_dir = cache_dir
+
+    def get_path(self, key: str) -> str:
+        import hashlib
+        import os
+
+        digest = hashlib.md5(key.encode("utf-8")).hexdigest()
+        return os.path.join(self._cache_dir, digest[:3], digest[3:])
+
+    def fetch(self, key: str, pk3_path: str) -> bool:
+        import shutil
+
+        try:
+            shutil.copyfile(self.get_path(key), pk3_path)
+            return True
+        except OSError:
+            return False
+
+    def write(self, key: str, pk3_path: str) -> None:
+        import os
+        import shutil
+
+        path = self.get_path(key)
+        if not os.path.exists(path):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            # Copy via a temp name so concurrent actors never see a
+            # partially written cache entry.
+            tmp = path + ".tmp%d" % os.getpid()
+            shutil.copyfile(pk3_path, tmp)
+            os.replace(tmp, path)
+
+
 class DmLab:
     """gymnasium-style wrapper over a deepmind_lab environment."""
 

@@ -134,18 +134,23 @@ class RolloutEngine:
         capture = step_idx == (self.unroll_length - self.overlap - 1)
         next_unroll_state = _tree_select(capture, agent_state, next_unroll_state)
 
-        agent_output, new_agent_state = self.agent.policy_step(
-            params, prev_action, env_output, agent_state, action_key,
-            deterministic=self.deterministic,
-        )
+        # named_scope = the jax.profiler equivalent of the reference's C++
+        # profiler::TraceMe annotations (grpc/ops/grpc.cc:1153-1156): the
+        # stages show up by name in captured device traces.
+        with jax.named_scope("rollout_policy_step"):
+            agent_output, new_agent_state = self.agent.policy_step(
+                params, prev_action, env_output, agent_state, action_key,
+                deterministic=self.deterministic,
+            )
         timestep = Timestep(
             prev_action=prev_action,
             env_output=env_output,
             agent_output=agent_output,
         )
-        new_env_state, new_env_output = self.env.step(
-            env_state, agent_output.action
-        )
+        with jax.named_scope("rollout_env_step"):
+            new_env_state, new_env_output = self.env.step(
+                env_state, agent_output.action
+            )
         new_carry = (
             new_env_state,
             new_env_output,

@@ -67,6 +67,10 @@ class InferenceBridge:
         example_action=None,
         profile_inference_return=None,
         config=None,
+        store_unrolls_on_inference: bool = True,
+        evaluator=None,
+        virtual_batch_size: int = 1,
+        training_iterations_fn: Optional[Callable[[], int]] = None,
     ):
         import jax
         import jax.numpy as jnp
@@ -94,6 +98,20 @@ class InferenceBridge:
         # utils.py:1093-1110). Any picklable value; typically the dict from
         # utils.config.serialize_config.
         self.config = config
+        # PPO external-actor contract (reference agents/policy_gradient/
+        # learner.py:908-1121): when store_unrolls_on_inference is False,
+        # actors build unrolls locally and push them via add_unroll instead
+        # of the learner-side store; add_stats feeds the Evaluator;
+        # pending_minimize tells actors whether the learner still has
+        # training work queued (backpressure for synchronous on-policy
+        # operation).
+        self.store_unrolls_on_inference = store_unrolls_on_inference
+        self.evaluator = evaluator
+        self.virtual_batch_size = max(int(virtual_batch_size), 1)
+        self._training_iterations_fn = training_iterations_fn
+        # Completed unrolls enqueued so far (either path); mirrors
+        # host.completed_unrolls (reference learner.py:909-913).
+        self.completed_unrolls = 0
 
         # Dense per-env state (numpy mirrors of the reference Aggregators).
         state0 = agent.initial_state(num_envs)
@@ -119,6 +137,45 @@ class InferenceBridge:
 
     def get_config(self):
         return self.config
+
+    def add_stats(self, data) -> None:
+        """Actor-reported finished-episode stats → Evaluator.
+
+        ``data`` is EpisodeInfo-shaped: (eval_name, episode_num_frames,
+        episode_returns, episode_raw_returns). Reference learner.py:
+        1095-1098 (host 0 only; here there is one bridge per host anyway).
+        """
+        if self.evaluator is not None:
+            self.evaluator.add(data)
+
+    def add_unroll(self, first_states, timesteps) -> None:
+        """Actor-built unroll batch → unroll queue.
+
+        Counterpart of the reference ``add_unroll`` RPC (learner.py:
+        1100-1104, bound when store_unrolls_on_inference is False): the
+        batch is unstacked into individual unrolls. ``first_states``
+        leaves are [B, ...] core states; ``timesteps`` leaves are
+        [B, T_total, ...] (item-major, like the store's output).
+        """
+        import jax
+
+        batch = len(jax.tree.leaves(timesteps)[0])
+        env_ids = np.arange(batch, dtype=np.int64)
+        self.unroll_queue.put((env_ids, first_states, timesteps))
+        self.completed_unrolls += batch
+
+    def pending_minimize(self) -> bool:
+        """True while training lags the collected unrolls.
+
+        Reference learner.py:908-913: actors poll this to pace themselves
+        against the learner (virtual_batch_size unrolls per training
+        iteration).
+        """
+        if self._training_iterations_fn is None:
+            return False
+        return self._training_iterations_fn() < (
+            self.completed_unrolls // self.virtual_batch_size
+        )
 
     def _zero_actions(self, n):
         if self._prev_actions is not None:
@@ -229,6 +286,16 @@ class InferenceBridge:
             return self._zero_actions(len(env_ids))
 
         # Append to the unroll store: (prev_action, env_output, agent_output).
+        # Storage can be switched off (eval mode / actor-built unrolls via
+        # add_unroll — reference store_unrolls_on_inference,
+        # learner_config.py:99 + run_eval learner.py:486-488).
+        if not self.store_unrolls_on_inference:
+            self._prev_actions[kept_env_ids] = actions
+            full_actions = np.zeros(
+                (len(env_ids),) + actions.shape[1:], actions.dtype
+            )
+            full_actions[kept_idx] = actions
+            return (full_actions,)
         completed_ids, unrolls = self.store.append(
             kept_env_ids,
             (old_prev_actions, kept_output, agent_output),
@@ -244,6 +311,7 @@ class InferenceBridge:
                 self.unroll_queue.put_nowait(
                     (completed_ids, first_states, unrolls)
                 )
+                self.completed_unrolls += len(completed_ids)
             except queue.Full:
                 pass  # drop under backpressure (off-policy tolerates this)
             # The next unroll of these envs starts at the carried boundary;
@@ -397,3 +465,21 @@ class BridgeClient:
     def get_config(self):
         """Fetch the learner's pushed config (reference get_config RPC)."""
         return self._bridge.get_config() if self._bridge is not None else None
+
+    def add_stats(self, data):
+        """Report a finished episode (reference add_stats RPC)."""
+        if self._bridge is not None:
+            self._bridge.add_stats(data)
+
+    def add_unroll(self, first_states, timesteps):
+        """Push an actor-built unroll batch (reference add_unroll RPC)."""
+        if self._bridge is not None:
+            self._bridge.add_unroll(first_states, timesteps)
+
+    def pending_minimize(self):
+        """Poll learner training backlog (reference pending_minimize RPC)."""
+        return (
+            self._bridge.pending_minimize()
+            if self._bridge is not None
+            else False
+        )

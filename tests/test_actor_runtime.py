@@ -268,3 +268,135 @@ def test_bridge_feeds_vtrace_update():
     )
     assert int(state2.step) == 1
     assert np.isfinite(float(metrics["losses/total"]))
+
+
+def test_evaluator_prefix_aggregation():
+    """Mirrors reference eval_utils.py:30-113 bucket-by-prefix semantics."""
+    from seed_rl_tpu.utils.evaluator import Evaluator
+
+    written = {}
+    ev = Evaluator(
+        log_episode_frequency=2,
+        summary_writer_fn=lambda k, v: written.__setitem__(k, v),
+    )
+    ev.add((b"training/", 10, 1.0, 2.0))
+    assert ev.process() == {}  # below frequency: nothing emitted yet
+    ev.add(("training/", 20, 3.0, 4.0))
+    ev.add(("eval_actors/", 5, 10.0, 10.0))
+    stats = ev.process()
+    assert stats["training/episode_returns"] == 2.0
+    assert stats["training/episode_returns_std"] == 1.0
+    assert stats["training/episode_num_frames"] == 15.0
+    assert stats["training/episode_raw_returns"] == 3.0
+    # eval_actors bucket has only 1 episode: withheld, not dropped.
+    assert "eval_actors/episode_returns" not in stats
+    ev.add(("eval_actors/", 7, 20.0, 20.0))
+    stats = ev.process()
+    assert stats["eval_actors/episode_returns"] == 15.0
+    assert written["eval_actors/episode_returns"] == 15.0
+    # add_many batches; reset drops pending data.
+    ev.add_many((
+        np.array(["training/", "training/"]),
+        np.array([1, 2]),
+        np.array([1.0, 2.0]),
+        np.array([1.0, 2.0]),
+    ))
+    ev.reset()
+    assert ev.process() == {}
+
+
+def test_add_unroll_add_stats_pending_minimize():
+    """PPO external-actor RPC surface (reference learner.py:908-1121)."""
+    from seed_rl_tpu.utils.evaluator import Evaluator
+
+    num_envs, unroll_length = 2, 3
+    dist = pd.CategoricalDistribution(4)
+    net = MLPPolicyNetwork(
+        parametric_distribution_param_size=dist.param_size, mlp_sizes=(8,)
+    )
+    agent = PolicyAgent(net, dist)
+    specs = jax.ShapeDtypeStruct((2,), np.float32)
+    training_iterations = [0]
+    ev = Evaluator(log_episode_frequency=1)
+    bridge = InferenceBridge(
+        agent,
+        params_fn=lambda: None,
+        num_envs=num_envs,
+        unroll_length=unroll_length,
+        timestep_specs=specs,
+        store_unrolls_on_inference=False,
+        evaluator=ev,
+        virtual_batch_size=2,
+        training_iterations_fn=lambda: training_iterations[0],
+    )
+    client = BridgeClient(None, bridge=bridge)
+
+    assert not client.pending_minimize()  # nothing collected yet
+
+    # Actor-built unroll batch of 4: leaves [B, T_total, ...] in the
+    # (prev_action, env_output, agent_output) timestep convention.
+    first_states = ()
+    prev_actions = np.arange(4 * 4, dtype=np.int32).reshape(4, 4)
+    env_obs = np.arange(4 * 4 * 2, dtype=np.float32).reshape(4, 4, 2)
+    agent_out = np.ones((4, 4), np.float32)
+    client.add_unroll(first_states, (prev_actions, env_obs, agent_out))
+    assert bridge.completed_unrolls == 4
+    # 4 unrolls / virtual_batch_size 2 = 2 training batches pending.
+    assert client.pending_minimize()
+    training_iterations[0] = 2
+    assert not client.pending_minimize()
+
+    unroll = bridge.next_unroll_batch(batch_size=4, timeout=5)
+    # Time-major [T, B, ...] restacking of what was pushed.
+    np.testing.assert_array_equal(
+        np.asarray(unroll.timesteps.env_output[:, 0]), env_obs[0]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(unroll.timesteps.prev_action[:, 2]), prev_actions[2]
+    )
+
+    client.add_stats(("training/", 11, 5.0, 5.0))
+    assert ev.process()["training/episode_returns"] == 5.0
+
+
+def test_store_unrolls_on_inference_off():
+    """Handler with storage off returns actions but never enqueues."""
+    num_envs, unroll_length = 2, 2
+    dist = pd.CategoricalDistribution(4)
+    net = MLPPolicyNetwork(
+        parametric_distribution_param_size=dist.param_size, mlp_sizes=(8,)
+    )
+    agent = PolicyAgent(net, dist)
+    env_output = EnvOutput(
+        reward=jnp.zeros((1,)),
+        done=jnp.zeros((1,), bool),
+        observation=jnp.zeros((1, 3)),
+        abandoned=jnp.zeros((1,), bool),
+        episode_step=jnp.zeros((1,), jnp.int32),
+    )
+    params = agent.init_params(
+        jax.random.PRNGKey(0), jnp.zeros((1,), jnp.int32), env_output
+    )
+    specs = jax.ShapeDtypeStruct((3,), np.float32)
+    bridge = InferenceBridge(
+        agent,
+        params_fn=lambda: params,
+        num_envs=num_envs,
+        unroll_length=unroll_length,
+        timestep_specs=specs,
+        store_unrolls_on_inference=False,
+    )
+    out = EnvOutput(
+        reward=np.zeros(2, np.float32),
+        done=np.zeros(2, bool),
+        observation=np.zeros((2, 3), np.float32),
+        abandoned=np.zeros(2, bool),
+        episode_step=np.zeros(2, np.int32),
+    )
+    for _ in range(3 * (unroll_length + 1)):
+        (actions,) = bridge.handler(
+            np.array([0, 1]), (np.array([7, 7], np.int64), out)
+        )
+        assert actions.shape == (2,)
+    assert bridge.unroll_queue.qsize() == 0
+    assert bridge.completed_unrolls == 0

@@ -204,3 +204,26 @@ def test_atari_nets_step_matches_time_major_unroll():
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b_), rtol=2e-5, atol=2e-5
             )
+
+
+def test_dmlab_level_cache(tmp_path):
+    """Reference dmlab/env.py:57-80 fetch/write contract."""
+    cache = dmlab.LevelCache(str(tmp_path / "cache"))
+    pk3 = tmp_path / "level.pk3"
+    pk3.write_bytes(b"compiled-level-bytes")
+    out = tmp_path / "restored.pk3"
+
+    # Miss before write.
+    assert not cache.fetch("seed:42:map1", str(out))
+    cache.write("seed:42:map1", str(pk3))
+    # Hit after write; bytes round-trip.
+    assert cache.fetch("seed:42:map1", str(out))
+    assert out.read_bytes() == b"compiled-level-bytes"
+    # Keys are md5-fanned into 3-char subdirs.
+    path = cache.get_path("seed:42:map1")
+    import os
+    rel = os.path.relpath(path, str(tmp_path / "cache"))
+    head, tail = rel.split(os.sep)
+    assert len(head) == 3 and len(head + tail) == 32
+    # Re-write of an existing key is a no-op (no error).
+    cache.write("seed:42:map1", str(pk3))
