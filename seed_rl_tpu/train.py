@@ -52,7 +52,7 @@ def parse_args(argv=None):
     p.add_argument("--env", required=True,
                    choices=["toy", "toy_memory", "discrete_match",
                             "bit_flipping", "synthetic_atari", "mujoco",
-                            "atari"])
+                            "atari", "dmlab", "football"])
     p.add_argument("--env_name", default="HalfCheetah-v5")
     p.add_argument("--game", default="Pong")
     p.add_argument("--logdir", default=None)
@@ -86,6 +86,10 @@ def parse_args(argv=None):
     p.add_argument("--replay_buffer_min_size", type=int, default=500)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--update_target_every_n_step", type=int, default=2500)
+    p.add_argument("--train_batches_per_step", type=int, default=1,
+                   help="R2D2 optimization batches per rollout cycle: the "
+                        "replay-ratio lever (reference replay_ratio = "
+                        "train_batches_per_step * batch_size / num_envs)")
     p.add_argument("--num_eval_envs", type=int, default=0)
     # SAC.
     p.add_argument("--her_window_length", type=int, default=0)
@@ -146,6 +150,30 @@ def make_env(args):
         return (
             HostBatchedEnv(
                 lambda i: create_environment(args.game, task=i),
+                args.num_envs,
+                num_threads=min(args.num_envs, 16),
+            ),
+            "host",
+        )
+    if args.env == "dmlab":
+        from seed_rl_tpu.envs.dmlab import create_environment
+        from seed_rl_tpu.envs.host import HostBatchedEnv
+
+        return (
+            HostBatchedEnv(
+                lambda i: create_environment(args.game, task=i),
+                args.num_envs,
+                num_threads=min(args.num_envs, 16),
+            ),
+            "host",
+        )
+    if args.env == "football":
+        from seed_rl_tpu.envs.football import create_environment
+        from seed_rl_tpu.envs.host import HostBatchedEnv
+
+        return (
+            HostBatchedEnv(
+                lambda i: create_environment(args.game),
                 args.num_envs,
                 num_threads=min(args.num_envs, 16),
             ),
@@ -275,6 +303,16 @@ def main(argv=None):
                 parametric_distribution_param_size=dist.param_size,
                 stack_size=4,
                 lstm_size=256,
+            )
+        elif args.env == "dmlab":
+            from seed_rl_tpu.models.resnets import ImpalaDeep
+
+            net = ImpalaDeep(num_actions=int(_action_space_of(env).n))
+        elif args.env == "football":
+            from seed_rl_tpu.models.resnets import GFootball
+
+            net = GFootball(
+                parametric_distribution_param_size=dist.param_size
             )
         else:
             net = MLPAndLSTM(
@@ -527,6 +565,7 @@ def main(argv=None):
             batch_size=args.batch_size,
             update_target_every_n_step=args.update_target_every_n_step,
             num_eval_envs=args.num_eval_envs,
+            train_batches_per_step=args.train_batches_per_step,
         )
         learner = r2d2.R2D2Learner(engine, agent, config, optimizer)
         if _maybe_eval(args, env, agent, learner, checkpoint, rng, location):
