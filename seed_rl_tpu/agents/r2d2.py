@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from seed_rl_tpu.ops import value_ops
+from seed_rl_tpu.ops.pallas import nstep_kernel
 from seed_rl_tpu.replay import PrioritizedReplay, ReplayState
 from seed_rl_tpu.rollout import RolloutEngine, RolloutState
 from seed_rl_tpu.types import QAgentOutput
@@ -184,7 +184,7 @@ def compute_loss_and_priorities(
     target_output, _ = agent.unroll(target_params, *suffix, target_state)
     env_outputs_suffix = suffix[1]
 
-    loss, priorities = value_ops.td_loss_and_priorities(
+    loss, priorities = nstep_kernel.td_loss_and_priorities_dispatch(
         training_output.q_values,
         target_output.q_values,
         training_output.action,
@@ -253,7 +253,7 @@ class R2D2Learner:
             lambda t: t[config.burn_in:], (env_outputs, agent_outputs)
         )
         env_suffix, agent_suffix = suffix
-        _, priorities = value_ops.td_loss_and_priorities(
+        _, priorities = nstep_kernel.td_loss_and_priorities_dispatch(
             agent_suffix.q_values,
             agent_suffix.q_values,
             agent_suffix.action,
