@@ -1,15 +1,11 @@
 """Sweep bench.py configurations on the real chip; prints fps per config."""
 
+import sys
 import time
 
 import jax
-import optax
-
-import sys
 
 sys.path.insert(0, "/root/repo")
-
-from seed_rl_tpu.agents import vtrace as vtrace_agent  # noqa: E402
 
 import bench  # noqa: E402
 
@@ -38,8 +34,6 @@ def measure(num_envs, unroll_length, steps_per_call, calls=6):
 
 
 if __name__ == "__main__":
-    measure(1024, 32, 2)  # current bench config
-    measure(2048, 32, 2)
-    measure(1024, 64, 2)
-    measure(2048, 64, 2)
-    measure(4096, 32, 2)
+    for spec in sys.argv[1:]:
+        envs, unroll, spc = (int(x) for x in spec.split(","))
+        measure(envs, unroll, spc)
