@@ -32,19 +32,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _force_virtual_cpu(n: int) -> None:
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count={n}"
-        ).strip()
-    import jax
+    # Reuse the guarded helper (stale-flag handling, backend-initialized
+    # check, defensive try/except around private jax internals) instead of
+    # duplicating unguarded pokes here.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import __graft_entry__
 
-    jax.config.update("jax_platforms", "cpu")
-    import jax._src.xla_bridge as xb
-
-    xb._backend_factories.pop("axon", None)
-    if hasattr(xb, "_topology_factories"):
-        xb._topology_factories.pop("axon", None)
+    __graft_entry__._ensure_virtual_cpu_mesh(n)
 
 
 def build_learner(model: str, num_envs: int, unroll_length: int):
@@ -132,7 +126,10 @@ def main():
 
     ndev = len(jax.devices())
     if args.replicas:
-        replicas = [int(x) for x in args.replicas.split(",")]
+        # Sorted + deduped: efficiency is measured relative to the smallest
+        # replica count, so an unsorted list like "8,1" must not pick 8 as
+        # the baseline.
+        replicas = sorted({int(x) for x in args.replicas.split(",")})
     else:
         replicas, n = [], 1
         while n <= ndev:

@@ -146,6 +146,50 @@ class R2D2TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def unroll_to_items(unroll, num_training_envs: int) -> StoredUnroll:
+    """Time-major [T, B] unroll -> item-major [num_training_envs, T] slice.
+
+    Eval envs (ids >= num_training_envs) are excluded — their experience is
+    never stored (reference learner.py:793-803)."""
+    n = num_training_envs
+    ts = unroll.timesteps
+
+    def to_items(t):
+        return jnp.swapaxes(t[:, :n], 0, 1)
+
+    return StoredUnroll(
+        agent_state=jax.tree.map(lambda t: t[:n], unroll.agent_state),
+        prev_actions=jax.tree.map(to_items, ts.prev_action),
+        env_outputs=jax.tree.map(to_items, ts.env_output),
+        agent_outputs=jax.tree.map(to_items, ts.agent_output),
+    )
+
+
+def initial_priorities(config: "R2D2Config", items: StoredUnroll):
+    """Behaviour-network-only initial priorities (reference :809-822)."""
+    time_major = jax.tree.map(
+        lambda t: jnp.swapaxes(t, 0, 1),
+        (items.env_outputs, items.agent_outputs),
+    )
+    env_outputs, agent_outputs = time_major
+    suffix = jax.tree.map(
+        lambda t: t[config.burn_in:], (env_outputs, agent_outputs)
+    )
+    env_suffix, agent_suffix = suffix
+    _, priorities = nstep_kernel.td_loss_and_priorities_dispatch(
+        agent_suffix.q_values,
+        agent_suffix.q_values,
+        agent_suffix.action,
+        agent_suffix.action,
+        env_suffix.reward,
+        env_suffix.done,
+        gamma=config.discounting,
+        n_steps=config.n_steps,
+        rescaling_eps=config.value_function_rescaling_epsilon,
+    )
+    return priorities
+
+
 def compute_loss_and_priorities(
     agent: R2D2Agent,
     params,
@@ -227,44 +271,10 @@ class R2D2Learner:
         return self._frames_per_step
 
     def _unroll_to_items(self, unroll) -> StoredUnroll:
-        """Time-major [T, B_train] unroll -> item-major [B_train, T] slice."""
-        n = self.num_training_envs
-        ts = unroll.timesteps
-
-        def to_items(t):
-            return jnp.swapaxes(t[:, :n], 0, 1)
-
-        return StoredUnroll(
-            agent_state=jax.tree.map(lambda t: t[:n], unroll.agent_state),
-            prev_actions=jax.tree.map(to_items, ts.prev_action),
-            env_outputs=jax.tree.map(to_items, ts.env_output),
-            agent_outputs=jax.tree.map(to_items, ts.agent_output),
-        )
+        return unroll_to_items(unroll, self.num_training_envs)
 
     def _initial_priorities(self, items: StoredUnroll):
-        """Behaviour-network-only priorities (reference :809-822)."""
-        config = self.config
-        time_major = jax.tree.map(
-            lambda t: jnp.swapaxes(t, 0, 1),
-            (items.env_outputs, items.agent_outputs),
-        )
-        env_outputs, agent_outputs = time_major
-        suffix = jax.tree.map(
-            lambda t: t[config.burn_in:], (env_outputs, agent_outputs)
-        )
-        env_suffix, agent_suffix = suffix
-        _, priorities = nstep_kernel.td_loss_and_priorities_dispatch(
-            agent_suffix.q_values,
-            agent_suffix.q_values,
-            agent_suffix.action,
-            agent_suffix.action,
-            env_suffix.reward,
-            env_suffix.done,
-            gamma=config.discounting,
-            n_steps=config.n_steps,
-            rescaling_eps=config.value_function_rescaling_epsilon,
-        )
-        return priorities
+        return initial_priorities(self.config, items)
 
     def init(self, rng) -> R2D2TrainState:
         init_rng, rollout_rng, env_rng, state_rng = jax.random.split(rng, 4)
@@ -309,8 +319,11 @@ class R2D2Learner:
         priorities = self._initial_priorities(items)
         replay, _ = self.replay.insert(state.replay, items, priorities)
 
+        # Only the last T timesteps are new; the first overlap+1 are shared
+        # with the previous unroll (already counted in the stats window).
         new_steps = jax.tree.map(
-            lambda x: x[1:], unroll.timesteps.env_output
+            lambda x: x[self.engine.overlap + 1:],
+            unroll.timesteps.env_output,
         )
         train_steps = jax.tree.map(
             lambda x: x[:, : self.num_training_envs], new_steps
@@ -421,6 +434,139 @@ class R2D2Learner:
         return state, jax.tree.map(lambda m: jnp.mean(m, axis=0), metrics)
 
 
+class R2D2HostTrainState(NamedTuple):
+    """Device-resident train state for the host-replay path (no replay/
+    rollout state inside — those live on the host)."""
+
+    params: Any
+    target_params: Any
+    opt_state: Any
+    rng: jnp.ndarray
+    step: jnp.ndarray  # optimization batches (reference `iterations`)
+
+
+class R2D2HostLearner:
+    """R2D2 over host environments + host-RAM replay at reference scale.
+
+    The split-learner half of the reference's architecture: a host driver
+    (``seed_rl_tpu.host_offpolicy.host_offpolicy_loop``) pumps
+    rollout-insert (HostRolloutEngine with ``num_overlapping_steps =
+    burn_in``) and sample-train through the jitted methods here, with the
+    replay buffer in host RAM (``replay_host.HostReplayBuffer``) so the
+    reference's 100k-unroll Atari config fits (reference
+    agents/r2d2/learner.py:387-468 create_dataset + gcp/train_atari.sh
+    replay knobs). Loss/targets/priorities are identical to ``R2D2Learner``.
+    """
+
+    init_needs_env = True  # init(rng, prev_action, env_output)
+
+    def __init__(
+        self,
+        agent: R2D2Agent,
+        config: R2D2Config,
+        optimizer: optax.GradientTransformation,
+        num_envs: int,
+        unroll_length: int,
+    ):
+        self.agent = agent
+        self.config = config
+        self.optimizer = optimizer
+        self.num_envs = num_envs
+        self.num_training_envs = num_envs - config.num_eval_envs
+        assert self.num_training_envs > 0
+        self.unroll_length = unroll_length
+        self._frames_per_cycle = (
+            unroll_length * num_envs * config.num_action_repeats
+        )
+        self.priority_exponent = config.priority_exponent
+        self.batch_size = config.batch_size
+
+    @property
+    def frames_per_cycle(self):
+        """Env frames generated by one host rollout cycle."""
+        return self._frames_per_cycle
+
+    def init(self, rng, prev_action, env_output) -> R2D2HostTrainState:
+        init_rng, state_rng = jax.random.split(rng)
+        params = self.agent.init_params(init_rng, prev_action, env_output)
+        return R2D2HostTrainState(
+            params=params,
+            target_params=params,
+            opt_state=self.optimizer.init(params),
+            rng=state_rng,
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def rollout_params(self, state: R2D2HostTrainState):
+        return state.params
+
+    def make_items_and_priorities(self, unroll):
+        """Device-side unroll -> (replay items, initial priorities)."""
+        items = unroll_to_items(unroll, self.num_training_envs)
+        return items, initial_priorities(self.config, items)
+
+    def train_on_batch(self, state: R2D2HostTrainState, items, weights):
+        """One optimization batch on host-sampled items.
+
+        Returns (new_state, priorities f32[batch], logs)."""
+        config = self.config
+        time_major = jax.tree.map(
+            lambda t: jnp.swapaxes(t, 0, 1),
+            (items.prev_actions, items.env_outputs, items.agent_outputs),
+        )
+        prev_actions, env_outputs, agent_outputs = time_major
+
+        def loss_fn(p):
+            loss, priorities = compute_loss_and_priorities(
+                self.agent,
+                p,
+                state.target_params,
+                items.agent_state,
+                prev_actions,
+                env_outputs,
+                agent_outputs,
+                gamma=config.discounting,
+                burn_in=config.burn_in,
+                n_steps=config.n_steps,
+                rescaling_eps=config.value_function_rescaling_epsilon,
+            )
+            return jnp.mean(loss * weights), priorities
+
+        (loss, priorities), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = self.optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+
+        step = state.step + 1
+        do_update = (step % config.update_target_every_n_step) == 0
+        target_params = jax.tree.map(
+            lambda t, p: jnp.where(do_update, p, t),
+            state.target_params,
+            params,
+        )
+        logs = {
+            "losses/td": loss,
+            "grad/norm": grad_norm,
+            "replay/sampled_priority_mean": jnp.mean(priorities),
+            "replay/importance_weight_mean": jnp.mean(weights),
+        }
+        return (
+            R2D2HostTrainState(
+                params=params,
+                target_params=target_params,
+                opt_state=opt_state,
+                rng=state.rng,
+                step=step,
+            ),
+            priorities,
+            logs,
+        )
+
+
 def learner_loop(
     learner: R2D2Learner,
     rng,
@@ -435,16 +581,21 @@ def learner_loop(
     if checkpoint is not None:
         state = checkpoint.restore_or(state)
 
-    warmup = jax.jit(learner.warmup_step)
+    if getattr(learner, "jit_compiled", False):  # DistributedLearner
+        warmup = learner.warmup_step
+        step_fn = functools.partial(
+            learner.train_many, num_steps=steps_per_call
+        )
+    else:
+        warmup = jax.jit(learner.warmup_step)
+        step_fn = jax.jit(
+            functools.partial(learner.train_many, num_steps=steps_per_call)
+        )
     while (
         int(state.replay.num_inserted)
         < learner.config.replay_buffer_min_size
     ):
         state = warmup(state)
-
-    step_fn = jax.jit(
-        functools.partial(learner.train_many, num_steps=steps_per_call)
-    )
     while int(state.step) * learner.frames_per_step < total_environment_frames:
         state, metrics = step_fn(state)
         step = int(state.step)

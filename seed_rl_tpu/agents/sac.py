@@ -534,3 +534,158 @@ class SACLearner:
 
         state, metrics = jax.lax.scan(body, state, None, length=num_steps)
         return state, jax.tree.map(lambda m: jnp.mean(m, axis=0), metrics)
+
+
+class SACHostTrainState(NamedTuple):
+    """Device train state for the host-env SAC path (replay on the host)."""
+
+    params: Any  # {"net": ..., "entropy_cost": scalar}
+    target_net_params: Any
+    opt_state: Any
+    rng: jnp.ndarray
+    step: jnp.ndarray  # optimization batches
+
+
+class SACHostLearner:
+    """SAC over host environments (MuJoCo/Gym) + host-RAM uniform replay.
+
+    The reference SAC is a MuJoCo/Gym actor-fleet agent
+    (/root/reference/mujoco/sac_main.py; agents/sac/learner.py:324-650 with
+    replay_buffer_size 1e6 transitions, replay_ratio 4, uniform sampling
+    :512-523). This learner provides the sample-train half for the
+    ``host_offpolicy_loop`` driver; the loss is ``compute_loss`` above
+    (identical math to the fused ``SACLearner``).
+    """
+
+    init_needs_env = True  # init(rng, prev_action, env_output)
+
+    def __init__(
+        self,
+        agent: SACAgent,
+        config: SACConfig,
+        optimizer: optax.GradientTransformation,
+        num_envs: int,
+        unroll_length: int,
+    ):
+        self.agent = agent
+        self.config = config
+        self.optimizer = optimizer
+        self.num_envs = num_envs
+        self.num_training_envs = num_envs  # SAC has no dedicated eval envs
+        self.unroll_length = unroll_length
+        self._frames_per_cycle = (
+            unroll_length * num_envs * config.num_action_repeats
+        )
+        self.priority_exponent = 0.0  # uniform replay (reference :512-523)
+        self.batch_size = config.batch_size
+
+    @property
+    def frames_per_cycle(self):
+        return self._frames_per_cycle
+
+    def init(self, rng, prev_action, env_output) -> SACHostTrainState:
+        init_rng, state_rng = jax.random.split(rng)
+        net_params = self.agent.init_params(init_rng, prev_action, env_output)
+        mul = self.config.entropy_cost_adjustment_speed
+        params = {
+            "net": net_params,
+            "entropy_cost": jnp.asarray(
+                jnp.log(self.config.entropy_cost) / mul, jnp.float32
+            ),
+        }
+        return SACHostTrainState(
+            params=params,
+            target_net_params=net_params,
+            opt_state=self.optimizer.init(params),
+            rng=state_rng,
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def rollout_params(self, state: SACHostTrainState):
+        return state.params["net"]
+
+    def make_items_and_priorities(self, unroll):
+        ts = unroll.timesteps
+
+        def to_items(t):
+            return jnp.swapaxes(t, 0, 1)
+
+        items = StoredUnroll(
+            agent_state=unroll.agent_state,
+            prev_actions=jax.tree.map(to_items, ts.prev_action),
+            env_outputs=jax.tree.map(to_items, ts.env_output),
+            agent_actions=jax.tree.map(to_items, ts.agent_output.action),
+        )
+        return items, jnp.ones((self.num_envs,), jnp.float32)
+
+    def on_unroll(self, state: SACHostTrainState, unroll):
+        """Fold fresh observations into the normalization statistics."""
+        if not self.agent.normalize_observations:
+            return state
+        new_steps = jax.tree.map(
+            lambda x: x[1:], unroll.timesteps.env_output
+        )
+        params = dict(
+            state.params,
+            net=self.agent.update_observation_normalization(
+                state.params["net"], new_steps.observation
+            ),
+        )
+        return state._replace(params=params)
+
+    def train_on_batch(self, state: SACHostTrainState, items, weights):
+        config = self.config
+        rng, loss_rng = jax.random.split(state.rng)
+        time_major = jax.tree.map(
+            lambda t: jnp.swapaxes(t, 0, 1),
+            (items.prev_actions, items.env_outputs, items.agent_actions),
+        )
+        prev_actions, env_outputs, agent_actions = time_major
+
+        def loss_fn(p):
+            return compute_loss(
+                config,
+                self.agent,
+                p,
+                state.target_net_params,
+                items.agent_state,
+                prev_actions,
+                env_outputs,
+                agent_actions,
+                loss_rng,
+            )
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+        metrics["grad/norm"] = optax.global_norm(grads)
+        updates, opt_state = self.optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        mul = config.entropy_cost_adjustment_speed
+        params = dict(
+            params,
+            entropy_cost=jnp.clip(
+                params["entropy_cost"], -20.0 / mul, 20.0 / mul
+            ),
+        )
+
+        step = state.step + 1
+        do_update = (step % config.update_target_every_n_step) == 0
+        polyak = jnp.where(do_update, config.polyak, 1.0)
+        target_net = jax.tree.map(
+            lambda t, p: polyak * t + (1.0 - polyak) * p,
+            state.target_net_params,
+            params["net"],
+        )
+        priorities = jnp.ones((config.batch_size,), jnp.float32)
+        return (
+            SACHostTrainState(
+                params=params,
+                target_net_params=target_net,
+                opt_state=opt_state,
+                rng=rng,
+                step=step,
+            ),
+            priorities,
+            metrics,
+        )

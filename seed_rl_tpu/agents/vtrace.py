@@ -22,7 +22,9 @@ import optax
 
 from seed_rl_tpu.agent import PolicyAgent
 from seed_rl_tpu.distributions import ParametricDistribution
-from seed_rl_tpu.ops import vtrace as vtrace_ops
+# Fused Pallas V-trace on TPU with lane-aligned batches; numerically
+# identical lax.scan fallback elsewhere (tests/test_pallas_vtrace.py).
+from seed_rl_tpu.ops.pallas import vtrace_kernel as vtrace_ops
 from seed_rl_tpu.rollout import RolloutEngine, RolloutState, Unroll
 from seed_rl_tpu.utils import episode_stats
 

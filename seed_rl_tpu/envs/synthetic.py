@@ -1,17 +1,25 @@
-"""Synthetic on-device benchmark environments.
+"""Synthetic on-device + host benchmark environments.
 
 ``SyntheticAtariEnv`` produces Atari-shaped uint8 frames (84x84x1, episodic,
 sparse rewards) at negligible cost, so benchmarks measure the framework +
 network throughput (the quantity BASELINE.md targets: env-frames/s per chip)
 rather than emulator speed. Real Atari runs use the host ALE pool in
 seed_rl_tpu.envs.atari.
+
+``SyntheticAtariGymEnv`` is the host-process (gymnasium) twin: the same
+observation/reward semantics as a plain numpy env, so the reference-scale
+R2D2/V-trace host pipeline (HostBatchedEnv thread pool -> HostRolloutEngine
+-> host-RAM replay) can be exercised end-to-end on machines without ale_py —
+the stand-in named by the round-1 review for validating the host-env R2D2
+path.
 """
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import gymnasium as gym
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from seed_rl_tpu.envs.core import JaxEnv, StepResult
 
@@ -67,3 +75,54 @@ class SyntheticAtariEnv(JaxEnv):
             terminated=t >= self.episode_length,
             abandoned=jnp.zeros((), bool),
         )
+
+
+class SyntheticAtariGymEnv(gym.Env):
+    """Host-process twin of ``SyntheticAtariEnv`` (gymnasium API).
+
+    Atari-shaped uint8 frames; reward 1 for picking the episode's hidden
+    action (encoded in the frame bytes), so a short training run has a
+    learnable signal. Cheap enough that host-pipeline benchmarks measure
+    the framework, not the emulator.
+    """
+
+    metadata = {"render_modes": []}
+
+    def __init__(
+        self,
+        num_actions: int = 18,
+        frame_shape: Tuple[int, int] = (84, 84),
+        episode_length: int = 1000,
+    ):
+        self.num_actions = num_actions
+        self.frame_shape = frame_shape
+        self.episode_length = episode_length
+        self.action_space = gym.spaces.Discrete(num_actions)
+        h, w = frame_shape
+        self.observation_space = gym.spaces.Box(
+            0, 255, (h, w, 1), np.uint8
+        )
+        self._rng = np.random.default_rng(0)
+        self._t = 0
+        self._seed_val = 0
+        h, w = frame_shape
+        self._row = np.arange(h, dtype=np.int32).reshape(h, 1, 1)
+        self._row = np.broadcast_to(self._row, (h, w, 1))
+
+    def _obs(self):
+        return ((self._row + self._t + self._seed_val) % 255).astype(
+            np.uint8
+        )
+
+    def reset(self, *, seed: Optional[int] = None, options=None):
+        if seed is not None:
+            self._rng = np.random.default_rng(seed)
+        self._seed_val = int(self._rng.integers(0, 255))
+        self._t = 0
+        return self._obs(), {}
+
+    def step(self, action):
+        self._t += 1
+        reward = float(int(action) == self._seed_val % self.num_actions)
+        terminated = self._t >= self.episode_length
+        return self._obs(), reward, terminated, False, {}

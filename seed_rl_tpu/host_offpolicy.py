@@ -1,0 +1,165 @@
+"""Off-policy training driver: host envs + host-RAM replay + device train.
+
+The rebuilt equivalent of the reference R2D2/SAC learner data-plane
+(/root/reference/agents/r2d2/learner.py:387-468 create_dataset and
+agents/sac/learner.py:478-530): inference-rate and train-rate are decoupled
+through a host-resident replay buffer under the replay-ratio contract
+(insertion_batch = batch_size / replay_ratio, r2d2 learner.py:113-117 —
+i.e. each stored unroll is trained on ``replay_ratio`` times in
+expectation), with the reference's three-thread discipline mapped to:
+
+- driver thread: host env stepping (thread-pooled) + jitted policy
+  inference (HostRolloutEngine), unroll -> items conversion + initial
+  priorities on device, insert into host RAM;
+- prefetch thread: categorical sampling + host gather + H2D of the next
+  training batch, overlapped with the in-flight device train step;
+- device: jitted train_on_batch; priorities stream back after dispatching
+  the next batch (same staleness window as the reference's tf.data-thread
+  sampling vs. main-loop priority updates, learner.py:435-437, 883-885).
+
+Works with any learner exposing ``init(rng, prev_action, env_output)``,
+``rollout_params(state)``, ``make_items_and_priorities(unroll)`` and
+``train_on_batch(state, items, weights)`` — R2D2HostLearner and
+SACHostLearner.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seed_rl_tpu.replay_host import HostReplayBuffer
+from seed_rl_tpu.utils import episode_stats
+
+
+def host_offpolicy_loop(
+    learner,
+    host_engine,
+    replay: HostReplayBuffer,
+    rng,
+    total_environment_frames: int,
+    replay_ratio: float,
+    replay_buffer_min_size: int,
+    logger=None,
+    checkpoint=None,
+    log_every_cycles: int = 10,
+    seed: int = 0,
+    max_train_batches_per_cycle: Optional[int] = None,
+):
+    """Returns the final device train state.
+
+    ``replay_ratio``: expected times each stored item is trained on
+    (reference r2d2 0.75, sac 4). Per rollout cycle the driver owes
+    ``replay_ratio * inserted / batch_size`` optimization batches and keeps
+    a fractional carry so non-integer ratios are honored exactly.
+    """
+    init_rng, rollout_rng = jax.random.split(rng)
+
+    num_envs = host_engine.env.num_envs
+    num_training = learner.num_training_envs
+    env_output_np = host_engine.env.reset(seed=seed)
+    env_output = jax.tree.map(jnp.asarray, env_output_np)
+    prev_action = host_engine._batch_zero_action(num_envs)
+
+    state = jax.jit(learner.init)(init_rng, prev_action, env_output)
+    if checkpoint is not None:
+        state = checkpoint.restore_or(state)
+
+    host_state = host_engine.init(
+        learner.rollout_params(state), rollout_rng, seed=seed
+    )
+    make_items = jax.jit(learner.make_items_and_priorities)
+    train = jax.jit(learner.train_on_batch)
+    on_unroll = None
+    if hasattr(learner, "on_unroll"):
+        on_unroll = jax.jit(learner.on_unroll)
+
+    overlap = host_engine.overlap
+    new_slice = overlap + 1  # timesteps [overlap+1:] are new each cycle
+
+    def update_stats(stats, eval_stats, new_steps):
+        train_steps = jax.tree.map(lambda x: x[:, :num_training], new_steps)
+        stats = episode_stats.update(stats, train_steps)
+        if num_envs > num_training:
+            eval_steps = jax.tree.map(
+                lambda x: x[:, num_training:], new_steps
+            )
+            eval_stats = episode_stats.update(eval_stats, eval_steps)
+        return stats, eval_stats
+
+    update_stats = jax.jit(update_stats)
+    stats = episode_stats.init(num_training)
+    eval_stats = episode_stats.init(max(num_envs - num_training, 1))
+
+    owed = 0.0
+    cycles = 0
+    frames = 0
+    pending = None  # (indices, dispatched train output) awaiting writeback
+    window_logs = []
+    priority_exp = getattr(learner, "priority_exponent", 0.0)
+    batch_size = learner.batch_size
+
+    while frames < total_environment_frames:
+        host_state, unroll = host_engine.rollout(
+            learner.rollout_params(state), host_state
+        )
+        if on_unroll is not None:
+            state = on_unroll(state, unroll)
+        items, priorities = make_items(unroll)
+        replay.insert(items, priorities)
+        new_steps = jax.tree.map(
+            lambda x: x[new_slice:], unroll.timesteps.env_output
+        )
+        stats, eval_stats = update_stats(stats, eval_stats, new_steps)
+        cycles += 1
+        frames += learner.frames_per_cycle
+
+        if replay.num_inserted >= replay_buffer_min_size:
+            owed += replay_ratio * num_training / batch_size
+            budget = int(owed)
+            if max_train_batches_per_cycle is not None:
+                budget = min(budget, max_train_batches_per_cycle)
+            for k in range(budget):
+                owed -= 1.0
+                if replay._prefetch_thread is None:
+                    replay.sample_async(batch_size, priority_exp)
+                indices, weights, items_b = replay.wait_sample()
+                state, new_priorities, logs = train(
+                    state, items_b, jnp.asarray(weights)
+                )
+                # Overlap the next batch's host gather + H2D with the
+                # in-flight device step before blocking on its priorities.
+                if k + 1 < budget:
+                    replay.sample_async(batch_size, priority_exp)
+                if priority_exp:
+                    replay.update_priorities(
+                        indices, np.asarray(new_priorities)
+                    )
+                window_logs.append(logs)
+
+        if logger is not None and cycles % log_every_cycles == 0:
+            metrics = {}
+            if window_logs:
+                stacked = jax.tree.map(
+                    lambda *xs: float(np.mean([np.asarray(x) for x in xs])),
+                    *window_logs,
+                )
+                metrics.update(stacked)
+                window_logs = []
+            for name, s in (("episodes", stats), ("eval_episodes", eval_stats)):
+                n = float(s.num_episodes)
+                if n > 0:
+                    metrics[f"{name}/mean_return"] = float(s.sum_return) / n
+                    metrics[f"{name}/mean_length"] = float(s.sum_length) / n
+            stats = episode_stats.reset_window(stats)
+            eval_stats = episode_stats.reset_window(eval_stats)
+            metrics["replay/num_inserted"] = replay.num_inserted
+            metrics["replay/ram_gb"] = round(replay.nbytes() / 2**30, 3)
+            logger.log(int(state.step), metrics, frames=frames)
+        if checkpoint is not None:
+            checkpoint.maybe_save(int(state.step), state)
+
+    if checkpoint is not None:
+        checkpoint.maybe_save(int(state.step), state, force=True)
+    return state

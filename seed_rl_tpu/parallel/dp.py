@@ -103,6 +103,14 @@ class DistributedLearner:
             out_shardings=(self._shardings, None),
         )
         self._many_cache = {}
+        self._warmup = None
+        if hasattr(learner, "warmup_step"):
+            # Replay agents: sharded rollout+insert to fill the buffer.
+            self._warmup = jax.jit(
+                learner.warmup_step,
+                in_shardings=(self._shardings,),
+                out_shardings=self._shardings,
+            )
 
     # Marks pre-jitted entry points for generic learner loops.
     jit_compiled = True
@@ -119,8 +127,16 @@ class DistributedLearner:
     def engine(self):
         return self.learner.engine
 
+    @property
+    def config(self):
+        return self.learner.config
+
     def init(self, rng):
         return self._init(rng)
+
+    def warmup_step(self, state):
+        assert self._warmup is not None
+        return self._warmup(state)
 
     def train_step(self, state):
         return self._step(state)

@@ -37,6 +37,7 @@ struct Batch {
   uint64_t generation = 0;          // batch sequence number for this buffer
   bool queued = false;              // full (or flushed) and awaiting runner
   bool completed = false;           // results written by the runner
+  bool failed = false;              // runner reported a handler error
 };
 
 }  // namespace
@@ -84,7 +85,8 @@ void batcher_destroy(Batcher* b) { delete b; }
 
 // Blocking submit from an env/actor thread. Copies `request` into a batch
 // slot, waits for the batch's results, copies this slot's result out.
-// Returns 0 on success, 1 on shutdown.
+// Returns 0 on success, 1 on shutdown, 2 if the runner reported a handler
+// failure for this batch (result_out is not written).
 int batcher_submit(Batcher* b, int64_t env_id, const char* request,
                    char* result_out) {
   std::unique_lock<std::mutex> lock(b->mu);
@@ -136,8 +138,11 @@ int batcher_submit(Batcher* b, int64_t env_id, const char* request,
   }
 
   Batch* cur = &b->buffers[buffer_idx];
-  std::memcpy(result_out, cur->result_data.data() + slot * b->result_bytes,
-              b->result_bytes);
+  const bool failed = cur->failed;
+  if (!failed) {
+    std::memcpy(result_out, cur->result_data.data() + slot * b->result_bytes,
+                b->result_bytes);
+  }
   cur->done_waiters++;
   if (cur->done_waiters == cur->fill) {
     // Last waiter recycles the buffer.
@@ -145,6 +150,7 @@ int batcher_submit(Batcher* b, int64_t env_id, const char* request,
     cur->done_waiters = 0;
     cur->queued = false;
     cur->completed = false;
+    cur->failed = false;
     Batch* fb = &b->buffers[b->fill_index];
     if (fb->queued || fb->completed) {
       // The filling pointer was stuck on a busy buffer; take over.
@@ -153,7 +159,7 @@ int batcher_submit(Batcher* b, int64_t env_id, const char* request,
     }
     b->submit_cv.notify_all();
   }
-  return 0;
+  return failed ? 2 : 0;
 }
 
 // Runner side: wait for a queued batch (or flush a partial one after
@@ -209,6 +215,21 @@ int batcher_complete_batch(Batcher* b, uint64_t ticket, const char* results,
   if (!batch->queued || batch->completed || batch->fill != count) return 1;
   std::memcpy(batch->result_data.data(), results, count * b->result_bytes);
   batch->completed = true;
+  b->submit_cv.notify_all();
+  return 0;
+}
+
+// Runner side: mark a batch as failed (handler raised). Every submitter
+// blocked on it gets return code 2 from batcher_submit instead of a result
+// — the error-propagation counterpart of the reference's server
+// cancellation on handler errors (grpc.cc:381-397).
+int batcher_fail_batch(Batcher* b, uint64_t ticket) {
+  std::unique_lock<std::mutex> lock(b->mu);
+  if (ticket >= b->num_buffers) return 1;
+  Batch* batch = &b->buffers[ticket];
+  if (!batch->queued || batch->completed) return 1;
+  batch->completed = true;
+  batch->failed = true;
   b->submit_cv.notify_all();
   return 0;
 }

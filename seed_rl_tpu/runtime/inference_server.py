@@ -78,6 +78,8 @@ def _build_and_load():
             ctypes.c_char_p,
             ctypes.c_size_t,
         ]
+        lib.batcher_fail_batch.restype = ctypes.c_int
+        lib.batcher_fail_batch.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
         lib.batcher_shutdown.argtypes = [ctypes.c_void_p]
         lib.batcher_total_requests.restype = ctypes.c_uint64
         lib.batcher_total_requests.argtypes = [ctypes.c_void_p]
@@ -179,6 +181,7 @@ class InferenceServer:
             num_buffers,
         )
         assert self._handle
+        self._handler_error = None  # last handler exception (repr string)
         self._runner = threading.Thread(target=self._run, daemon=True)
         self._stopped = threading.Event()
         self._runner.start()
@@ -213,14 +216,19 @@ class InferenceServer:
             try:
                 results = handler(env_ids, requests)
                 encoded = self._res_codec.encode_batch(results)
-            except Exception:  # keep the runner alive: a dead runner
-                # deadlocks every blocked submitter (reference cancels the
-                # whole server on handler errors; we fail the batch with
-                # zeros and log).
+            except Exception as exc:  # keep the runner alive: a dead runner
+                # deadlocks every blocked submitter. Mark the batch failed so
+                # every blocked inference() call raises — the error-
+                # propagation parity of the reference's server cancellation
+                # on handler errors (grpc.cc:381-397, ops_test.py:384-541).
                 import traceback
 
+                self._handler_error = "".join(
+                    traceback.format_exception_only(type(exc), exc)
+                ).strip()
                 traceback.print_exc()
-                encoded = b"\x00" * (n * self._res_codec.nbytes)
+                lib.batcher_fail_batch(self._handle, ticket.value)
+                continue
             lib.batcher_complete_batch(
                 self._handle, ticket.value, encoded, n
             )
@@ -230,6 +238,11 @@ class InferenceServer:
         req = self._req_codec.encode(request)
         out = ctypes.create_string_buffer(self._res_codec.nbytes)
         rc = self._lib.batcher_submit(self._handle, env_id, req, out)
+        if rc == 2:
+            raise RuntimeError(
+                "inference handler failed: "
+                f"{self._handler_error or 'unknown error'}"
+            )
         if rc != 0:
             raise RuntimeError("inference server is shut down")
         decoded = self._res_codec.decode_batch(

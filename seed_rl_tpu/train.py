@@ -51,8 +51,12 @@ def parse_args(argv=None):
                    help="train_many calls captured by --run_mode=profile")
     p.add_argument("--env", required=True,
                    choices=["toy", "toy_memory", "discrete_match",
-                            "bit_flipping", "synthetic_atari", "mujoco",
-                            "atari", "dmlab", "football"])
+                            "bit_flipping", "synthetic_atari",
+                            "synthetic_atari_host", "mujoco",
+                            "atari", "dmlab", "football"],
+                   help="synthetic_atari_host = Atari-shaped host gym envs "
+                        "(exercises the full host pipeline: thread-pooled "
+                        "stepping, host-RAM replay) without ale_py")
     p.add_argument("--env_name", default="HalfCheetah-v5")
     p.add_argument("--game", default="Pong")
     p.add_argument("--logdir", default=None)
@@ -82,8 +86,20 @@ def parse_args(argv=None):
     # R2D2.
     p.add_argument("--burn_in", type=int, default=40)
     p.add_argument("--n_steps", type=int, default=5)
-    p.add_argument("--replay_buffer_size", type=int, default=10_000)
-    p.add_argument("--replay_buffer_min_size", type=int, default=500)
+    p.add_argument("--replay_buffer_size", type=int, default=10_000,
+                   help="unrolls (R2D2) / windows (SAC). Device envs keep "
+                        "the buffer in HBM (fused path; default sized for "
+                        "~16 GB chips); host envs use the host-RAM backend "
+                        "where the reference Atari config (100000 unrolls, "
+                        ">85 GB) fits — gcp/train_atari.sh:28-33")
+    p.add_argument("--replay_buffer_min_size", type=int, default=500,
+                   help="buffer fill before training starts (reference "
+                        "Atari config: 5000)")
+    p.add_argument("--replay_ratio", type=float, default=0.75,
+                   help="host-env off-policy agents: expected times each "
+                        "stored item is trained on (reference r2d2 0.75, "
+                        "sac 4; insertion_batch = batch_size/replay_ratio, "
+                        "r2d2 learner.py:113-117)")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--update_target_every_n_step", type=int, default=2500)
     p.add_argument("--train_batches_per_step", type=int, default=1,
@@ -130,6 +146,18 @@ def make_env(args):
         return (
             envs.BatchedEnv(SyntheticAtariEnv(), args.num_envs),
             "device",
+        )
+    if args.env == "synthetic_atari_host":
+        from seed_rl_tpu.envs.host import HostBatchedEnv
+        from seed_rl_tpu.envs.synthetic import SyntheticAtariGymEnv
+
+        return (
+            HostBatchedEnv(
+                lambda i: SyntheticAtariGymEnv(),
+                args.num_envs,
+                num_threads=min(args.num_envs, 16),
+            ),
+            "host",
         )
     if args.env == "mujoco":
         from seed_rl_tpu.envs.host import HostBatchedEnv
@@ -199,7 +227,18 @@ def _maybe_eval(args, env, agent, learner, checkpoint, rng, location) -> bool:
 
     from seed_rl_tpu.evaluation import run_eval
 
-    state = jax.jit(learner.init)(rng)
+    if getattr(learner, "init_needs_env", False):
+        # Host off-policy learners initialize from an example env output.
+        from seed_rl_tpu.rollout import _zero_action_for_space
+
+        env_output = jax.tree.map(jnp.asarray, env.reset(seed=0))
+        zero = _zero_action_for_space(env.action_space)
+        prev_action = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (env.num_envs,) + x.shape), zero
+        )
+        state = jax.jit(learner.init)(rng, prev_action, env_output)
+    else:
+        state = jax.jit(learner.init)(rng)
     state = checkpoint.restore_or(state)
     metrics = run_eval(
         env,
@@ -298,7 +337,7 @@ def main(argv=None):
         dist = pd.get_parametric_distribution_for_action_space(
             _action_space_of(env)
         )
-        if args.env in ("synthetic_atari", "atari"):
+        if args.env in ("synthetic_atari", "synthetic_atari_host", "atari"):
             net = AtariPolicyNet(
                 parametric_distribution_param_size=dist.param_size,
                 stack_size=4,
@@ -448,13 +487,25 @@ def main(argv=None):
                 return
             if _maybe_profile(args, learner, rng, location):
                 return
-            state = jax.jit(learner.init)(rng)
-            state = checkpoint.restore_or(state)
-            run = jax.jit(
-                functools.partial(
+            if args.num_replicas != 1:
+                from seed_rl_tpu.parallel import DistributedLearner, make_mesh
+
+                n = args.num_replicas or len(jax.devices())
+                if n > 1:
+                    learner = DistributedLearner(learner, make_mesh(n))
+            if getattr(learner, "jit_compiled", False):
+                state = learner.init(rng)
+                run = functools.partial(
                     learner.train_many, num_steps=args.steps_per_call
                 )
-            )
+            else:
+                state = jax.jit(learner.init)(rng)
+                run = jax.jit(
+                    functools.partial(
+                        learner.train_many, num_steps=args.steps_per_call
+                    )
+                )
+            state = checkpoint.restore_or(state)
             from seed_rl_tpu.utils import episode_stats
             from seed_rl_tpu.utils.action_points import (
                 ActionPointSchedule,
@@ -535,12 +586,10 @@ def main(argv=None):
         from seed_rl_tpu.agents import r2d2
         from seed_rl_tpu.models.atari import DuelingLSTMDQNNet
         from seed_rl_tpu.models.dueling_mlp import VectorDuelingDQNNet
-        from seed_rl_tpu.rollout import RolloutEngine
 
-        assert location == "device" or args.env == "atari"
         space = _action_space_of(env)
         num_actions = int(space.n)
-        if args.env in ("synthetic_atari", "atari"):
+        if args.env in ("synthetic_atari", "synthetic_atari_host", "atari"):
             net = DuelingLSTMDQNNet(num_actions=num_actions)
         else:
             net = VectorDuelingDQNNet(num_actions=num_actions)
@@ -552,10 +601,6 @@ def main(argv=None):
             ]
         )
         agent = r2d2.R2D2Agent(net, epsilons)
-        engine = RolloutEngine(
-            env, agent, args.unroll_length,
-            num_overlapping_steps=args.burn_in,
-        )
         config = r2d2.R2D2Config(
             discounting=args.discounting,
             n_steps=args.n_steps,
@@ -567,20 +612,68 @@ def main(argv=None):
             num_eval_envs=args.num_eval_envs,
             train_batches_per_step=args.train_batches_per_step,
         )
-        learner = r2d2.R2D2Learner(engine, agent, config, optimizer)
-        if _maybe_eval(args, env, agent, learner, checkpoint, rng, location):
-            return
-        if _maybe_profile(args, learner, rng, location):
-            return
-        r2d2.learner_loop(
-            learner,
-            rng,
-            args.total_environment_frames,
-            logger=logger,
-            checkpoint=checkpoint,
-            log_every_steps=args.log_every_steps,
-            steps_per_call=args.steps_per_call,
-        )
+        if location == "host":
+            # Reference-scale path: host envs (Atari/ALE), host-RAM replay
+            # (100k-unroll buffers), split rollout-insert / sample-train
+            # halves under the replay-ratio contract.
+            from seed_rl_tpu.host_offpolicy import host_offpolicy_loop
+            from seed_rl_tpu.replay_host import HostReplayBuffer
+            from seed_rl_tpu.rollout_host import HostRolloutEngine
+
+            host_engine = HostRolloutEngine(
+                env, agent, args.unroll_length,
+                num_overlapping_steps=args.burn_in,
+            )
+            host_learner = r2d2.R2D2HostLearner(
+                agent, config, optimizer, args.num_envs, args.unroll_length
+            )
+            if _maybe_eval(args, env, agent, host_learner, checkpoint, rng,
+                           location):
+                return
+            replay = HostReplayBuffer(
+                args.replay_buffer_size,
+                config.importance_sampling_exponent,
+            )
+            host_offpolicy_loop(
+                host_learner,
+                host_engine,
+                replay,
+                rng,
+                args.total_environment_frames,
+                replay_ratio=args.replay_ratio,
+                replay_buffer_min_size=args.replay_buffer_min_size,
+                logger=logger,
+                checkpoint=checkpoint,
+                log_every_cycles=args.log_every_steps,
+            )
+        else:
+            from seed_rl_tpu.rollout import RolloutEngine
+
+            engine = RolloutEngine(
+                env, agent, args.unroll_length,
+                num_overlapping_steps=args.burn_in,
+            )
+            learner = r2d2.R2D2Learner(engine, agent, config, optimizer)
+            if _maybe_eval(args, env, agent, learner, checkpoint, rng,
+                           location):
+                return
+            if _maybe_profile(args, learner, rng, location):
+                return
+            if args.num_replicas != 1:
+                from seed_rl_tpu.parallel import DistributedLearner, make_mesh
+
+                n = args.num_replicas or len(jax.devices())
+                if n > 1:
+                    learner = DistributedLearner(learner, make_mesh(n))
+            r2d2.learner_loop(
+                learner,
+                rng,
+                args.total_environment_frames,
+                logger=logger,
+                checkpoint=checkpoint,
+                log_every_steps=args.log_every_steps,
+                steps_per_call=args.steps_per_call,
+            )
     elif args.agent == "sac":
         from seed_rl_tpu.agents import sac
         from seed_rl_tpu.models.sac_nets import (
@@ -589,7 +682,6 @@ def main(argv=None):
         )
         from seed_rl_tpu.rollout import RolloutEngine
 
-        assert location == "device", "SAC CLI currently drives JAX envs"
         space = _action_space_of(env)
         dist = pd.get_parametric_distribution_for_action_space(space)
         import gymnasium as gym
@@ -612,9 +704,6 @@ def main(argv=None):
             normalize_observations=args.normalize_observations,
         )
         her_window = args.her_window_length or None
-        engine = RolloutEngine(
-            env, agent, her_window or args.unroll_length
-        )
         config = sac.SACConfig(
             discounting=args.discounting,
             batch_size=args.batch_size,
@@ -623,6 +712,43 @@ def main(argv=None):
             unroll_length=args.unroll_length,
             her_window_length=her_window,
             polyak=args.polyak,
+        )
+        if location == "host":
+            # Reference SAC is a MuJoCo/Gym agent
+            # (/root/reference/mujoco/sac_main.py): host envs + host-RAM
+            # uniform replay under the replay-ratio contract (default 4).
+            assert her_window is None, "HER uses the fused device path"
+            from seed_rl_tpu.host_offpolicy import host_offpolicy_loop
+            from seed_rl_tpu.replay_host import HostReplayBuffer
+            from seed_rl_tpu.rollout_host import HostRolloutEngine
+
+            host_engine = HostRolloutEngine(env, agent, args.unroll_length)
+            host_learner = sac.SACHostLearner(
+                agent, config, optimizer, args.num_envs, args.unroll_length
+            )
+            if _maybe_eval(args, env, agent, host_learner, checkpoint, rng,
+                           location):
+                return
+            replay = HostReplayBuffer(
+                args.replay_buffer_size, importance_sampling_exponent=0.0
+            )
+            host_offpolicy_loop(
+                host_learner,
+                host_engine,
+                replay,
+                rng,
+                args.total_environment_frames,
+                replay_ratio=args.replay_ratio,
+                replay_buffer_min_size=args.replay_buffer_min_size,
+                logger=logger,
+                checkpoint=checkpoint,
+                log_every_cycles=args.log_every_steps,
+            )
+            logger.flush()
+            checkpoint.close()
+            return result_snapshots
+        engine = RolloutEngine(
+            env, agent, her_window or args.unroll_length
         )
         compute_reward_fn = None
         if her_window:
@@ -637,18 +763,34 @@ def main(argv=None):
             return
         if _maybe_profile(args, learner, rng, location):
             return
-        state = jax.jit(learner.init)(rng)
+        if args.num_replicas != 1:
+            from seed_rl_tpu.parallel import DistributedLearner, make_mesh
+
+            n = args.num_replicas or len(jax.devices())
+            if n > 1:
+                learner = DistributedLearner(learner, make_mesh(n))
+        state = (
+            learner.init(rng)
+            if getattr(learner, "jit_compiled", False)
+            else jax.jit(learner.init)(rng)
+        )
         state = checkpoint.restore_or(state)
-        warmup = jax.jit(learner.warmup_step)
+        if getattr(learner, "jit_compiled", False):
+            warmup = learner.warmup_step
+            run = functools.partial(
+                learner.train_many, num_steps=args.steps_per_call
+            )
+        else:
+            warmup = jax.jit(learner.warmup_step)
+            run = jax.jit(
+                functools.partial(
+                    learner.train_many, num_steps=args.steps_per_call
+                )
+            )
         while (
             int(state.replay.num_inserted) < config.replay_buffer_min_size
         ):
             state = warmup(state)
-        run = jax.jit(
-            functools.partial(
-                learner.train_many, num_steps=args.steps_per_call
-            )
-        )
         from seed_rl_tpu.utils import episode_stats
 
         while (

@@ -181,6 +181,58 @@ def test_handler_sees_env_ids():
     server.shutdown()
 
 
+def test_handler_error_propagates_to_all_blocked_callers():
+    """A crashing policy must raise in every blocked inference() call, not
+    silently return zeros (reference cancellation semantics,
+    grpc.cc:381-397 / ops_test.py:384-541)."""
+    fail_first = [True]
+
+    def handler(env_ids, x):
+        if fail_first[0]:
+            fail_first[0] = False
+            raise ValueError("policy exploded")
+        return x * 2.0
+
+    server = _make_server(4, handlers=[handler], flush_timeout_ms=-1)
+    errors, ok = [], []
+
+    def worker(i):
+        try:
+            ok.append(server.inference(i, np.zeros(2, np.float32)))
+        except RuntimeError as e:
+            errors.append(str(e))
+
+    threads = [
+        threading.Thread(target=worker, args=(i,)) for i in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=10)
+    assert len(errors) == 4 and not ok
+    assert all("policy exploded" in e for e in errors)
+
+    # The server must stay alive and serve subsequent batches normally.
+    results = {}
+
+    def worker2(i):
+        results[i] = server.inference(
+            i, np.array([i, i], np.float32)
+        )
+
+    threads = [
+        threading.Thread(target=worker2, args=(i,)) for i in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=10)
+    assert len(results) == 4
+    for i in range(4):
+        np.testing.assert_allclose(results[i], [2.0 * i, 2.0 * i])
+    server.shutdown()
+
+
 def test_sustained_throughput_multiple_rounds():
     """Many rounds per thread — exercises buffer recycling."""
     batch = 4
