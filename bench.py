@@ -1,15 +1,31 @@
-"""Benchmark: Atari-shaped V-trace env-frames/s per chip.
+"""Benchmark: env-frames/s per chip for the three headline workloads.
 
-Measures the fused on-device rollout+train loop (conv + LSTM policy over
-84x84 uint8 frames, the workload class of BASELINE.md's primary metric) on
-one chip and prints one JSON line.
+Emits one JSON line per workload (the primary V-trace metric is printed
+last so single-line consumers keep round-over-round continuity):
+
+1. ``r2d2_atari_env_frames_per_sec_per_chip`` — fused R2D2 at the reference
+   cloud shape (unroll 80, burn-in 40, batch 64, prioritized replay +
+   target net, DuelingLSTMDQNNet on 84x84 uint8 frames —
+   gcp/train_atari.sh:86-105).
+2. ``ppo_env_frames_per_sec_per_chip`` — PPO with the HalfCheetah-style
+   composition (GAE + PPO-epsilon loss + PopArt + input norm, split batch
+   mode, 10 epochs — mujoco/gin/ppo.gin) on vector observations.
+3. ``vtrace_atari_env_frames_per_sec_per_chip`` — fused on-device
+   rollout+train (conv + LSTM policy over 84x84 uint8 frames), the
+   workload class of BASELINE.md's primary metric.
 
 Baseline anchor: the TF2 reference publishes no throughput table
 (BASELINE.md); the SEED paper (arXiv:1910.06591, linked from the reference
 README) reports ~2.4M env fps on 64 TPUv3 cores for DmLab-class conv+LSTM
 agents ≈ 37.5k env-frames/s per core. We use 40k frames/s/chip as the
-reference-per-chip anchor; vs_baseline = measured / anchor. The BASELINE.md
-target is vs_baseline >= 5.
+reference-per-chip anchor for the frame-based workloads (vtrace, r2d2);
+vs_baseline = measured / anchor, target >= 5 (BASELINE.md). PPO uses the
+same anchor for lack of any published number — treat its vs_baseline as a
+round-over-round tracking figure, not a parity claim.
+
+Methodology: iterations chain through a donated train state; one host fetch
+at the end (the axon relay charges ~20ms per fetch round-trip and does not
+reliably block in block_until_ready).
 """
 
 import json
@@ -17,20 +33,56 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
-
-from seed_rl_tpu import distributions as pd
-from seed_rl_tpu.agent import PolicyAgent
-from seed_rl_tpu.agents import vtrace as vtrace_agent
-from seed_rl_tpu.envs import BatchedEnv
-from seed_rl_tpu.envs.synthetic import SyntheticAtariEnv
-from seed_rl_tpu.models.atari import AtariPolicyNet
-from seed_rl_tpu.rollout import RolloutEngine
 
 BASELINE_FRAMES_PER_SEC_PER_CHIP = 40_000.0
 
 
-def build_learner(num_envs: int, unroll_length: int):
+def _fetch_scalar(state):
+    # Concrete host fetch: the axon relay does not reliably block in
+    # block_until_ready, so force completion via a scalar device->host read.
+    leaf = jax.tree.leaves(state)[0]
+    return float(jnp.sum(leaf) * 0 + 1)
+
+
+def _measure(run, state, frames_per_call, calls):
+    state, _ = run(state)  # warmup: compile + one measured-shape execution
+    _fetch_scalar(state)
+    t0 = time.perf_counter()
+    for _ in range(calls):
+        state, _ = run(state)
+    _fetch_scalar(state)
+    dt = time.perf_counter() - t0
+    return calls * frames_per_call / dt
+
+
+def _emit(metric, fps):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(fps, 1),
+                "unit": "frames/s",
+                "vs_baseline": round(
+                    fps / BASELINE_FRAMES_PER_SEC_PER_CHIP, 3
+                ),
+            }
+        ),
+        flush=True,
+    )
+
+
+def bench_vtrace():
+    from seed_rl_tpu import distributions as pd
+    from seed_rl_tpu.agent import PolicyAgent
+    from seed_rl_tpu.agents import vtrace as vtrace_agent
+    from seed_rl_tpu.envs import BatchedEnv
+    from seed_rl_tpu.envs.synthetic import SyntheticAtariEnv
+    from seed_rl_tpu.models.atari import AtariPolicyNet
+    from seed_rl_tpu.rollout import RolloutEngine
+
+    num_envs, unroll_length, steps_per_call, calls = 1024, 32, 2, 8
     num_actions = 18
     env = BatchedEnv(SyntheticAtariEnv(num_actions=num_actions), num_envs)
     dist = pd.CategoricalDistribution(num_actions)
@@ -42,50 +94,141 @@ def build_learner(num_envs: int, unroll_length: int):
     )
     agent = PolicyAgent(net, dist)
     engine = RolloutEngine(env, agent, unroll_length)
-    return vtrace_agent.VTraceLearner(
+    learner = vtrace_agent.VTraceLearner(
         engine,
         agent,
         vtrace_agent.VTraceConfig(),
         optax.chain(optax.clip_by_global_norm(40.0), optax.adam(3e-4)),
     )
-
-
-def main():
-    num_envs = 1024
-    unroll_length = 32
-    steps_per_call = 2
-
-    learner = build_learner(num_envs, unroll_length)
     state = jax.jit(learner.init)(jax.random.PRNGKey(0))
-    # Donating the train state keeps rollout/optimizer buffers in place
-    # across steps (no copy-on-write of the env/replay state).
     run = jax.jit(
         lambda s: learner.train_many(s, steps_per_call), donate_argnums=0
     )
-
-    # Warmup: compile + one measured-shape execution.
-    state, _ = run(state)
-    jax.block_until_ready(state.step)
-
-    calls = 8
-    t0 = time.perf_counter()
-    for _ in range(calls):
-        state, metrics = run(state)
-    jax.block_until_ready(state.step)
-    dt = time.perf_counter() - t0
-
-    frames = calls * steps_per_call * num_envs * unroll_length
-    fps = frames / dt
-    print(
-        json.dumps(
-            {
-                "metric": "vtrace_atari_env_frames_per_sec_per_chip",
-                "value": round(fps, 1),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / BASELINE_FRAMES_PER_SEC_PER_CHIP, 3),
-            }
-        )
+    fps = _measure(
+        run, state, steps_per_call * num_envs * unroll_length, calls
     )
+    _emit("vtrace_atari_env_frames_per_sec_per_chip", fps)
+
+
+def bench_r2d2():
+    from seed_rl_tpu.agents import r2d2
+    from seed_rl_tpu.envs import BatchedEnv
+    from seed_rl_tpu.envs.synthetic import SyntheticAtariEnv
+    from seed_rl_tpu.models.atari import DuelingLSTMDQNNet
+    from seed_rl_tpu.rollout import RolloutEngine
+
+    num_envs, unroll, burn_in, calls = 256, 80, 40, 8
+    num_actions = 18
+    env = BatchedEnv(SyntheticAtariEnv(num_actions=num_actions), num_envs)
+    net = DuelingLSTMDQNNet(
+        num_actions=num_actions, core_dtype=jnp.bfloat16, dtype=jnp.bfloat16
+    )
+    agent = r2d2.R2D2Agent(net, r2d2.training_env_epsilons(num_envs))
+    engine = RolloutEngine(env, agent, unroll, num_overlapping_steps=burn_in)
+    config = r2d2.R2D2Config(
+        n_steps=5,
+        burn_in=burn_in,
+        replay_buffer_size=512,
+        replay_buffer_min_size=8,
+        batch_size=64,
+        update_target_every_n_step=2500,
+    )
+    learner = r2d2.R2D2Learner(
+        engine,
+        agent,
+        config,
+        optax.chain(optax.clip_by_global_norm(80.0), optax.adam(1e-4)),
+    )
+    state = jax.jit(learner.init)(jax.random.PRNGKey(0))
+    warmup = jax.jit(learner.warmup_step, donate_argnums=0)
+    while int(state.replay.num_inserted) < config.replay_buffer_min_size:
+        state = warmup(state)
+    run = jax.jit(lambda s: learner.train_many(s, 1), donate_argnums=0)
+    fps = _measure(run, state, num_envs * unroll, calls)
+    _emit("r2d2_atari_env_frames_per_sec_per_chip", fps)
+
+
+def bench_ppo():
+    from seed_rl_tpu import distributions as pd
+    from seed_rl_tpu.agents.ppo import policy_losses
+    from seed_rl_tpu.agents.ppo.continuous_control_agent import (
+        ContinuousControlNet,
+        NormalizingPolicyAgent,
+    )
+    from seed_rl_tpu.agents.ppo.generalized_onpolicy_loss import (
+        GeneralizedOnPolicyLoss,
+    )
+    from seed_rl_tpu.agents.ppo.input_normalization import InputNormalization
+    from seed_rl_tpu.agents.ppo.learner import PPOConfig, PPOLearner
+    from seed_rl_tpu.agents.ppo.policy_regularizers import (
+        KLPolicyRegularizer,
+    )
+    from seed_rl_tpu.envs import BatchedEnv, ToyEnv
+    from seed_rl_tpu.ops.advantages import GAE
+    from seed_rl_tpu.ops.popart import PopArt
+    from seed_rl_tpu.ops.running_statistics import AverageMeanStd
+    from seed_rl_tpu.rollout import RolloutEngine
+
+    num_envs, unroll_length, steps_per_call, calls = 1024, 16, 1, 8
+    env = BatchedEnv(ToyEnv(horizon=20), num_envs)
+    dist = pd.NormalTanhDistribution(
+        3, gaussian_std_fn=pd.safe_exp_std_fn(1.0, 1e-3)
+    )
+    net = ContinuousControlNet(
+        parametric_distribution_param_size=dist.param_size,
+        num_layers_policy=2,
+        num_layers_value=2,
+        num_units_policy=64,
+        num_units_value=64,
+        activation=jnp.tanh,
+        kernel_init_gain=float(np.sqrt(2.0)),
+        last_kernel_init_policy_gain=0.01,
+        last_kernel_init_value_gain=1.0,
+        std_independent_of_input=True,
+    )
+    agent = NormalizingPolicyAgent(
+        net,
+        dist,
+        input_normalization=InputNormalization(
+            AverageMeanStd(), input_size=4
+        ),
+        input_clipping=10.0,
+    )
+    loss = GeneralizedOnPolicyLoss(
+        agent=agent,
+        reward_normalizer=PopArt(AverageMeanStd(), compensate=False),
+        parametric_action_distribution=dist,
+        advantage_estimator=GAE(lambda_=0.95),
+        policy_loss=policy_losses.ppo(epsilon=0.2),
+        discount_factor=0.99,
+        regularizer=KLPolicyRegularizer(entropy=0.0),
+        baseline_cost=1.0,
+    )
+    engine = RolloutEngine(env, agent, unroll_length)
+    config = PPOConfig(
+        epochs_per_step=10, batch_mode="split", batches_per_step=32
+    )
+    learner = PPOLearner(
+        engine,
+        agent,
+        loss,
+        config,
+        optax.chain(optax.clip_by_global_norm(0.5), optax.adam(3e-4)),
+    )
+    state = jax.jit(learner.init)(jax.random.PRNGKey(0))
+    run = jax.jit(
+        lambda s: learner.train_many(s, steps_per_call), donate_argnums=0
+    )
+    fps = _measure(
+        run, state, steps_per_call * num_envs * unroll_length, calls
+    )
+    _emit("ppo_env_frames_per_sec_per_chip", fps)
+
+
+def main():
+    bench_r2d2()
+    bench_ppo()
+    bench_vtrace()  # primary metric last (single-line consumers keep it)
 
 
 if __name__ == "__main__":

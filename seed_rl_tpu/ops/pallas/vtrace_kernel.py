@@ -105,13 +105,20 @@ def from_importance_weights_pallas(
         "otherwise"
     )
     f32 = jnp.float32
+    # vs/pg_advantages are constants w.r.t. the loss (both returns are
+    # stop_gradient'ed below, matching the scan version and the reference's
+    # target semantics) — zeroing the input tangents here keeps the
+    # pallas_call out of the JVP path entirely (pallas_call has no JVP rule
+    # for kernels with scratch buffers).
     args = [
-        jnp.asarray(target_action_log_probs, f32),
-        jnp.asarray(behaviour_action_log_probs, f32),
-        jnp.asarray(discounts, f32),
-        jnp.asarray(rewards, f32),
-        jnp.asarray(values, f32),
-        jnp.asarray(bootstrap_value, f32)[None, :],  # [1, B] for tiling
+        jax.lax.stop_gradient(jnp.asarray(target_action_log_probs, f32)),
+        jax.lax.stop_gradient(jnp.asarray(behaviour_action_log_probs, f32)),
+        jax.lax.stop_gradient(jnp.asarray(discounts, f32)),
+        jax.lax.stop_gradient(jnp.asarray(rewards, f32)),
+        jax.lax.stop_gradient(jnp.asarray(values, f32)),
+        jax.lax.stop_gradient(
+            jnp.asarray(bootstrap_value, f32)
+        )[None, :],  # [1, B] for tiling
     ]
 
     kernel = functools.partial(

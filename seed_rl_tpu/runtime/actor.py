@@ -114,10 +114,11 @@ class InferenceBridge:
         self.completed_unrolls = 0
 
         # Dense per-env state (numpy mirrors of the reference Aggregators).
+        # np.array (not asarray): device arrays view as read-only numpy.
         state0 = agent.initial_state(num_envs)
-        self._agent_states = jax.tree.map(np.asarray, state0)
+        self._agent_states = jax.tree.map(np.array, state0)
         self._initial_state_row = jax.tree.map(
-            lambda x: np.asarray(x[:1]), state0
+            lambda x: np.array(x[:1]), state0
         )
         # Core state at the start of each env's current unroll
         # (first_agent_states aggregator, vtrace learner.py:333-340).

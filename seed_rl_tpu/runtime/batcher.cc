@@ -24,7 +24,14 @@
 #include <cstdint>
 #include <cstring>
 #include <mutex>
+#include <thread>
 #include <vector>
+
+#include <errno.h>
+#include <string.h>
+#include <sys/socket.h>
+#include <sys/un.h>
+#include <unistd.h>
 
 namespace {
 
@@ -248,5 +255,193 @@ uint64_t batcher_total_requests(Batcher* b) {
 uint64_t batcher_total_batches(Batcher* b) {
   return b->total_batches.load(std::memory_order_relaxed);
 }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Unix-domain-socket transport: the wire front-end for external actor
+// processes, the native-transport counterpart of the reference's streaming
+// gRPC server (grpc/ops/grpc.cc:591-861; unix sockets per grpc/README.md:8-9).
+//
+// Protocol (all little-endian, fixed-size payloads — the codec contract of
+// the in-process batcher):
+//   on connect, server sends:  "SRL1" + u64 spec_len + spec blob
+//                              (pickled request/result signatures — the
+//                              equivalent of the reference's Init RPC
+//                              signature discovery, grpc.cc:145-153)
+//   client replies:            u64 request_bytes + u64 result_bytes
+//   server replies:            u8 status (0 ok, 1 size mismatch -> close)
+//   per call, client sends:    i64 env_id + request blob
+//   server replies:            u8 status + result blob
+//                              (status: 0 ok, 1 shutting down -> close,
+//                               2 handler failed for this batch)
+//
+// One connection per env (the reference holds one stream per actor env
+// batch; here batching happens server-side in the Batcher). Each connection
+// gets a thread that blocks in batcher_submit — the same thread discipline
+// as the reference's completion-queue pollers parked in DynamicFn.
+
+namespace {
+
+bool ReadFull(int fd, void* buf, size_t n) {
+  char* p = static_cast<char*>(buf);
+  while (n > 0) {
+    ssize_t r = ::read(fd, p, n);
+    if (r <= 0) {
+      if (r < 0 && errno == EINTR) continue;
+      return false;
+    }
+    p += r;
+    n -= static_cast<size_t>(r);
+  }
+  return true;
+}
+
+bool WriteFull(int fd, const void* buf, size_t n) {
+  const char* p = static_cast<const char*>(buf);
+  while (n > 0) {
+    ssize_t r = ::write(fd, p, n);
+    if (r <= 0) {
+      if (r < 0 && errno == EINTR) continue;
+      return false;
+    }
+    p += r;
+    n -= static_cast<size_t>(r);
+  }
+  return true;
+}
+
+}  // namespace
+
+struct TransportServer {
+  Batcher* batcher;
+  int listen_fd = -1;
+  std::string spec_blob;
+  std::thread accept_thread;
+  std::mutex mu;
+  std::vector<int> conn_fds;
+  std::vector<std::thread> conn_threads;
+  std::atomic<bool> shutting_down{false};
+  std::atomic<uint64_t> connections{0};
+
+  void ServeConnection(int fd) {
+    // Handshake.
+    uint64_t spec_len = spec_blob.size();
+    if (!WriteFull(fd, "SRL1", 4) ||
+        !WriteFull(fd, &spec_len, sizeof(spec_len)) ||
+        (spec_len && !WriteFull(fd, spec_blob.data(), spec_len))) {
+      ::close(fd);
+      return;
+    }
+    uint64_t sizes[2];
+    if (!ReadFull(fd, sizes, sizeof(sizes))) {
+      ::close(fd);
+      return;
+    }
+    uint8_t ok = (sizes[0] == batcher->request_bytes &&
+                  sizes[1] == batcher->result_bytes)
+                     ? 0
+                     : 1;
+    if (!WriteFull(fd, &ok, 1) || ok != 0) {
+      ::close(fd);
+      return;
+    }
+
+    std::vector<char> request(batcher->request_bytes);
+    std::vector<char> response(1 + batcher->result_bytes);
+    while (!shutting_down.load(std::memory_order_relaxed)) {
+      int64_t env_id;
+      if (!ReadFull(fd, &env_id, sizeof(env_id))) break;
+      if (!request.empty() &&
+          !ReadFull(fd, request.data(), request.size()))
+        break;
+      int rc = batcher_submit(batcher, env_id, request.data(),
+                              response.data() + 1);
+      response[0] = static_cast<char>(rc);
+      if (rc != 0 && rc != 2) {  // shutdown
+        uint8_t status = 1;
+        WriteFull(fd, &status, 1);
+        break;
+      }
+      if (rc == 2) std::memset(response.data() + 1, 0, batcher->result_bytes);
+      if (!WriteFull(fd, response.data(), response.size())) break;
+    }
+    ::close(fd);
+  }
+
+  void AcceptLoop() {
+    while (!shutting_down.load(std::memory_order_relaxed)) {
+      int fd = ::accept(listen_fd, nullptr, nullptr);
+      if (fd < 0) {
+        if (errno == EINTR) continue;
+        return;  // listen fd closed (shutdown)
+      }
+      connections.fetch_add(1, std::memory_order_relaxed);
+      std::lock_guard<std::mutex> lock(mu);
+      if (shutting_down.load(std::memory_order_relaxed)) {
+        ::close(fd);
+        return;
+      }
+      conn_fds.push_back(fd);
+      conn_threads.emplace_back([this, fd] { ServeConnection(fd); });
+    }
+  }
+};
+
+extern "C" {
+
+// Starts a unix-domain-socket server for `batcher` at `path`. `spec_blob`
+// (may be null) is sent to every client at connect time (signature
+// discovery). Returns null on bind/listen failure.
+TransportServer* transport_server_create(Batcher* batcher, const char* path,
+                                         const char* spec_blob,
+                                         size_t spec_len) {
+  sockaddr_un addr;
+  if (strlen(path) >= sizeof(addr.sun_path)) return nullptr;
+  int fd = ::socket(AF_UNIX, SOCK_STREAM, 0);
+  if (fd < 0) return nullptr;
+  std::memset(&addr, 0, sizeof(addr));
+  addr.sun_family = AF_UNIX;
+  std::strncpy(addr.sun_path, path, sizeof(addr.sun_path) - 1);
+  ::unlink(path);
+  if (::bind(fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) < 0 ||
+      ::listen(fd, 128) < 0) {
+    ::close(fd);
+    return nullptr;
+  }
+  auto* server = new TransportServer;
+  server->batcher = batcher;
+  server->listen_fd = fd;
+  if (spec_blob && spec_len) server->spec_blob.assign(spec_blob, spec_len);
+  server->accept_thread = std::thread([server] { server->AcceptLoop(); });
+  return server;
+}
+
+uint64_t transport_server_connections(TransportServer* s) {
+  return s->connections.load(std::memory_order_relaxed);
+}
+
+// Stops accepting, unblocks per-connection readers, joins all threads.
+// Blocked batcher_submit calls are released by batcher_shutdown (call it
+// first, as the Python front-end does).
+void transport_server_shutdown(TransportServer* s) {
+  s->shutting_down.store(true, std::memory_order_relaxed);
+  ::shutdown(s->listen_fd, SHUT_RDWR);
+  ::close(s->listen_fd);
+  {
+    std::lock_guard<std::mutex> lock(s->mu);
+    for (int fd : s->conn_fds) ::shutdown(fd, SHUT_RDWR);
+  }
+  if (s->accept_thread.joinable()) s->accept_thread.join();
+  std::vector<std::thread> threads;
+  {
+    std::lock_guard<std::mutex> lock(s->mu);
+    threads.swap(s->conn_threads);
+  }
+  for (auto& t : threads)
+    if (t.joinable()) t.join();
+}
+
+void transport_server_destroy(TransportServer* s) { delete s; }
 
 }  // extern "C"

@@ -85,6 +85,17 @@ def _build_and_load():
         lib.batcher_total_requests.argtypes = [ctypes.c_void_p]
         lib.batcher_total_batches.restype = ctypes.c_uint64
         lib.batcher_total_batches.argtypes = [ctypes.c_void_p]
+        lib.transport_server_create.restype = ctypes.c_void_p
+        lib.transport_server_create.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+        ]
+        lib.transport_server_connections.restype = ctypes.c_uint64
+        lib.transport_server_connections.argtypes = [ctypes.c_void_p]
+        lib.transport_server_shutdown.argtypes = [ctypes.c_void_p]
+        lib.transport_server_destroy.argtypes = [ctypes.c_void_p]
         _LIB = lib
         return lib
 
@@ -170,8 +181,11 @@ class InferenceServer:
         assert len(handlers) >= 1
         self._lib = _build_and_load()
         self._handlers = list(handlers)
+        self._request_specs = request_specs
+        self._result_specs = result_specs
         self._req_codec = _Codec(request_specs)
         self._res_codec = _Codec(result_specs)
+        self._transport = None
         self.batch_size = batch_size
         self._flush_timeout_ms = flush_timeout_ms
         self._handle = self._lib.batcher_create(
@@ -252,15 +266,47 @@ class InferenceServer:
 
         return jax.tree.map(lambda x: x[0], decoded)
 
+    def serve_unix(self, path: str, config=None) -> None:
+        """Open a native unix-domain-socket front-end at ``path``.
+
+        Remote actor processes connect with
+        ``seed_rl_tpu.runtime.transport.SocketClient`` (or
+        ``RemoteActorClient``); their calls flow through the same C++
+        batcher as in-process ``inference()`` calls. The handshake carries
+        the request/result signatures (reference Init RPC discovery,
+        grpc.cc:145-153) plus an optional learner ``config`` payload
+        (reference serialize_config/update_config push,
+        common/utils.py:1074-1110).
+        """
+        import pickle
+
+        assert self._transport is None, "transport already started"
+        payload = (self._request_specs, self._result_specs, config)
+        blob = pickle.dumps(payload)
+        self._transport = self._lib.transport_server_create(
+            self._handle, path.encode(), blob, len(blob)
+        )
+        if not self._transport:
+            raise OSError(f"failed to bind unix socket at {path}")
+
     @property
     def stats(self):
-        return {
+        stats = {
             "total_requests": self._lib.batcher_total_requests(self._handle),
             "total_batches": self._lib.batcher_total_batches(self._handle),
         }
+        if self._transport:
+            stats["connections"] = self._lib.transport_server_connections(
+                self._transport
+            )
+        return stats
 
     def shutdown(self):
         if not self._stopped.is_set():
             self._stopped.set()
             self._lib.batcher_shutdown(self._handle)
+            if self._transport:
+                self._lib.transport_server_shutdown(self._transport)
+                self._lib.transport_server_destroy(self._transport)
+                self._transport = None
             self._runner.join(timeout=5)

@@ -39,13 +39,27 @@ def parse_args(argv=None):
     p.add_argument("--agent", required=True,
                    choices=["vtrace", "ppo", "r2d2", "sac"])
     p.add_argument("--run_mode", default="train",
-                   choices=["train", "eval", "profile"],
+                   choices=["train", "eval", "profile", "actor", "learner"],
                    help="eval = restore from --logdir/--init_checkpoint and "
                         "run deterministic-policy evaluation (reference "
                         "run_eval / eval actors); profile = capture a "
                         "jax.profiler device trace of the hot training loop "
                         "into <logdir>/profile (reference profiling "
-                        "subsystem, SURVEY.md §5)")
+                        "subsystem, SURVEY.md §5); actor = env-stepping "
+                        "process calling a remote learner's socket server "
+                        "(reference --run_mode=actor); learner = serve "
+                        "inference at --server_address and train on "
+                        "streamed unrolls (reference --run_mode=learner)")
+    p.add_argument("--server_address", default="/tmp/seed_rl_tpu.sock",
+                   help="unix socket path for actor/learner run modes")
+    p.add_argument("--env_id_offset", type=int, default=0,
+                   help="actor mode: first env id of this process "
+                        "(reference env_id = task*env_batch_size+i)")
+    p.add_argument("--num_actor_steps", type=int, default=0,
+                   help="actor mode: stop after N env steps (0 = forever)")
+    p.add_argument("--inference_batch_size", type=int, default=0,
+                   help="learner mode: dynamic batch size; 0 = reference "
+                        "auto-tune max(1, num_envs/2)")
     p.add_argument("--eval_episodes", type=int, default=32)
     p.add_argument("--profile_calls", type=int, default=5,
                    help="train_many calls captured by --run_mode=profile")
@@ -315,6 +329,31 @@ def main(argv=None):
 
     args = parse_args(argv)
     result_snapshots = None  # in-memory LearnerState snapshots (PPO)
+
+    if args.run_mode == "actor":
+        # Env-stepping process against a remote learner's socket server
+        # (reference common/actor.py:45-185 + gcp/run.py fleet shape).
+        from seed_rl_tpu.remote import run_actor
+
+        def create_env_fn():
+            actor_env, actor_location = make_env(args)
+            assert actor_location == "host", "actor mode steps host envs"
+            return actor_env
+
+        run_actor(
+            create_env_fn,
+            args.server_address,
+            num_steps=args.num_actor_steps or None,
+            env_id_offset=args.env_id_offset,
+        )
+        return
+
+    if args.run_mode == "learner":
+        assert args.agent == "vtrace", (
+            "remote-actor learner mode currently serves the V-trace agent "
+            "(the reference's canonical remote-actor agent); R2D2/SAC/PPO "
+            "use in-process host engines"
+        )
     env, location = make_env(args)
     logger = MetricsLogger(args.logdir)
     checkpoint = CheckpointManager(
@@ -366,6 +405,44 @@ def main(argv=None):
             discounting=args.discounting,
             entropy_cost=args.entropy_cost,
         )
+        if args.run_mode == "learner":
+            # Serve inference to remote actor processes over the unix
+            # socket; the env above is used for spec inference only
+            # (reference vtrace learner docstring, learner.py:174-178).
+            from seed_rl_tpu.remote import SpecHostEnv, run_remote_learner
+            from seed_rl_tpu.rollout_host import HostRolloutEngine
+
+            obs_spec = env.observation_spec()
+            spec_env = SpecHostEnv(
+                obs_spec, _action_space_of(env), args.num_envs
+            )
+            if hasattr(env, "close"):
+                env.close()
+            engine = HostRolloutEngine(spec_env, agent, args.unroll_length)
+            learner = vtrace_agent.VTraceLearner(
+                engine, agent, config, optimizer
+            )
+            run_remote_learner(
+                agent,
+                learner,
+                obs_spec,
+                args.server_address,
+                args.total_environment_frames,
+                args.unroll_length,
+                args.num_envs,
+                inference_batch_size=args.inference_batch_size,
+                logger=logger,
+                checkpoint=checkpoint,
+                log_every_steps=args.log_every_steps,
+                config_push={
+                    "unroll_length": args.unroll_length,
+                    "num_envs": args.num_envs,
+                },
+                rng=rng,
+            )
+            logger.flush()
+            checkpoint.close()
+            return result_snapshots
         if location == "device":
             from seed_rl_tpu.rollout import RolloutEngine
 
