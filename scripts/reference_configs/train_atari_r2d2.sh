@@ -6,13 +6,16 @@
 # burn-in 40, replay 100k unrolls (min 5k), replay_ratio 0.75, lr 1e-4,
 # clip_norm 80, 50e9 frames, 30 eval actors, eval epsilon 1e-3.
 #
-# replay_ratio mapping: the reference inserts batch/replay_ratio unrolls per
-# training batch; here replay_ratio = train_batches_per_step * batch_size /
-# num_training_envs. With 640 training envs + batch 64:
-#   train_batches_per_step = ceil(0.75 * (640-30) / 64) ~= 7.
+# --env=atari runs the host pipeline: thread-pooled ALE stepping, host-RAM
+# replay at the full 100k-unroll scale (>85 GB — the reference's learner-RAM
+# buffer, gcp/train_atari.sh:28-33), and the replay-ratio contract applied
+# directly (--replay_ratio=0.75 = reference insertion_batch
+# batch/replay_ratio, r2d2 learner.py:113-117).
 #
-# Needs ale_py for real Atari; substitute --env=synthetic_atari to exercise
-# the identical device path on synthetic frames.
+# Needs ale_py for real Atari; substitute --env=synthetic_atari_host to
+# exercise the identical host pipeline on synthetic frames (or
+# --env=synthetic_atari for the fused on-device path, where
+# train_batches_per_step expresses the ratio instead).
 set -euo pipefail
 GAME=${1:-Pong}
 LOGDIR=${LOGDIR:-/tmp/seed_rl_tpu/atari_r2d2_${GAME}}
@@ -21,7 +24,7 @@ exec python -m seed_rl_tpu.train \
     --agent=r2d2 --env=atari --game="$GAME" \
     --num_envs=640 --num_eval_envs=30 \
     --unroll_length=80 --burn_in=40 \
-    --batch_size=64 --train_batches_per_step=7 \
+    --batch_size=64 --replay_ratio=0.75 \
     --replay_buffer_size=100000 --replay_buffer_min_size=5000 \
     --learning_rate=1e-4 --clip_norm=80 \
     --discounting=0.997 --n_steps=5 \

@@ -83,6 +83,10 @@ class PPOLearner:
         self._normalizing = (
             getattr(agent, "input_normalization", None) is not None
         )
+        # NormalizingPolicyAgent consumes {"net": ...} wrapper params even
+        # with normalization off; plain PolicyAgent (discrete/visual PPO
+        # nets) takes raw flax params.
+        self._wraps_params = hasattr(agent, "_transform")
         self._frames_per_step = (
             engine.unroll_length
             * engine.env.num_envs
@@ -100,7 +104,9 @@ class PPOLearner:
     def _agent_params(self, trainable, obs_norm):
         if self._normalizing:
             return {"net": trainable["net"], "obs_norm": obs_norm}
-        return {"net": trainable["net"]}
+        if self._wraps_params:
+            return {"net": trainable["net"]}
+        return trainable["net"]
 
     @property
     def frames_per_step(self):

@@ -296,7 +296,17 @@ def learner_loop(
     Mirrors the reference's learner main loop (learner.py:466-483): train
     until the frame budget, checkpoint on a time cadence, log windowed
     episode stats.
+
+    Cadence note: the episode-stat window resets only when a log line
+    fires, so when ``log_every_steps`` is not a multiple of
+    ``steps_per_call`` the window spans a variable number of steps. The
+    logged values are per-episode means (unbiased regardless of window
+    span); only the effective sample count varies. Use
+    ``log_every_steps % steps_per_call == 0`` for fixed-width windows.
     """
+    assert log_every_steps >= steps_per_call, (
+        "log_every_steps < steps_per_call would skip log lines entirely"
+    )
     state = learner.init(rng)
     if checkpoint is not None:
         state = checkpoint.restore_or(state)

@@ -27,8 +27,25 @@ Examples:
 import argparse
 import functools
 import math
+import os
 
 import jax
+
+# Honor an explicit JAX_PLATFORMS env var even when a container
+# sitecustomize pre-forced a platform through jax.config at interpreter
+# start (config normally wins over the env var, which silently reroutes
+# "CPU" runs to remote hardware).
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax._src.xla_bridge as _xb
+
+        if not _xb.backends_are_initialized():
+            jax.config.update(
+                "jax_platforms", os.environ["JAX_PLATFORMS"]
+            )
+    except Exception:  # pragma: no cover - private API drift
+        pass
+
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -90,8 +107,31 @@ def parse_args(argv=None):
                    help="0 = all local devices (data parallelism)")
     # PPO.
     p.add_argument("--epochs_per_step", type=int, default=10)
-    p.add_argument("--batch_mode", default="split")
+    p.add_argument("--batch_mode", default=None,
+                   choices=[None, "repeat", "shuffle", "split",
+                            "split_with_advantage_recomputation"],
+                   help="default: split for stateless nets, shuffle for "
+                        "recurrent ones (split modes forbid recurrent "
+                        "state — reference ppo_training_step_utils)")
     p.add_argument("--batches_per_step", type=int, default=32)
+    p.add_argument("--policy_loss", default="ppo",
+                   choices=["ppo", "vmpo", "awr", "pg", "vtrace"],
+                   help="on-policy loss family (reference policy_losses.py "
+                        "factories: ppo epsilon-mask, V-MPO top-half "
+                        "softmax + Lagrange temperature, AWR exp "
+                        "transform, plain PG, V-trace IS weights)")
+    p.add_argument("--ppo_epsilon", type=float, default=0.2)
+    p.add_argument("--awr_beta", type=float, default=1.0)
+    p.add_argument("--awr_w_max", type=float, default=20.0)
+    p.add_argument("--vmpo_e_n", type=float, default=0.1,
+                   help="V-MPO temperature constraint threshold")
+    p.add_argument("--ppo_entropy_cost", type=float, default=0.0,
+                   help="entropy bonus in the PPO-family regularizer "
+                        "(reference ppo.gin uses 0)")
+    p.add_argument("--advantage_estimator", default="gae",
+                   choices=["gae", "vtrace"],
+                   help="reference modules/advantages.py: GAE or "
+                        "abandoned-aware V-trace")
     # Count-based action points on a frame linspace (reference PPO
     # learner.py:436-471); 0 disables (time-based cadence still applies).
     p.add_argument("--num_checkpoints", type=int, default=0)
@@ -511,47 +551,112 @@ def main(argv=None):
         from seed_rl_tpu.ops.popart import PopArt
         from seed_rl_tpu.ops.running_statistics import AverageMeanStd
 
-        dist = pd.get_parametric_distribution_for_action_space(
-            _action_space_of(env),
-            pd.continuous_action_config(
-                action_gaussian_std_fn="safe_exp"
-            ),
+        import gymnasium as gym
+
+        from seed_rl_tpu.ops.advantages import VTrace as VTraceAdvantage
+
+        space = _action_space_of(env)
+        discrete = isinstance(
+            space, (gym.spaces.Discrete, gym.spaces.MultiDiscrete)
         )
-        obs_spec = env.observation_spec()
-        obs_size = int(np.prod(jax.tree.leaves(obs_spec)[0].shape))
-        net = ContinuousControlNet(
-            parametric_distribution_param_size=dist.param_size,
-            num_layers_policy=2,
-            num_layers_value=2,
-            num_units_policy=64,
-            num_units_value=64,
-            activation=jnp.tanh,
-            kernel_init_gain=float(np.sqrt(2.0)),
-            last_kernel_init_policy_gain=0.01,
-            last_kernel_init_value_gain=1.0,
-            std_independent_of_input=True,
-        )
-        agent = NormalizingPolicyAgent(
-            net,
-            dist,
-            input_normalization=InputNormalization(
-                AverageMeanStd(), input_size=obs_size
+        recurrent = False
+        if discrete:
+            # Discrete PPO family (the reference's DmLab PPO shape:
+            # discrete actions + ImpalaDeep / conv nets via gin).
+            dist = pd.get_parametric_distribution_for_action_space(space)
+            if args.env in (
+                "synthetic_atari", "synthetic_atari_host", "atari"
+            ):
+                from seed_rl_tpu.models.atari import AtariPolicyNet
+
+                net = AtariPolicyNet(
+                    parametric_distribution_param_size=dist.param_size,
+                    stack_size=4,
+                    lstm_size=256,
+                )
+                recurrent = True
+            elif args.env == "dmlab":
+                from seed_rl_tpu.models.resnets import ImpalaDeep
+
+                net = ImpalaDeep(num_actions=int(space.n))
+                recurrent = True
+            elif args.env == "football":
+                from seed_rl_tpu.models.resnets import GFootball
+
+                net = GFootball(
+                    parametric_distribution_param_size=dist.param_size
+                )
+            else:
+                from seed_rl_tpu.models import MLPAndLSTM
+
+                net = MLPAndLSTM(
+                    parametric_distribution_param_size=dist.param_size
+                )
+                recurrent = True
+            from seed_rl_tpu.agent import PolicyAgent
+
+            agent = PolicyAgent(net, dist)
+        else:
+            dist = pd.get_parametric_distribution_for_action_space(
+                space,
+                pd.continuous_action_config(
+                    action_gaussian_std_fn="safe_exp"
+                ),
+            )
+            obs_spec = env.observation_spec()
+            obs_size = int(np.prod(jax.tree.leaves(obs_spec)[0].shape))
+            net = ContinuousControlNet(
+                parametric_distribution_param_size=dist.param_size,
+                num_layers_policy=2,
+                num_layers_value=2,
+                num_units_policy=64,
+                num_units_value=64,
+                activation=jnp.tanh,
+                kernel_init_gain=float(np.sqrt(2.0)),
+                last_kernel_init_policy_gain=0.01,
+                last_kernel_init_value_gain=1.0,
+                std_independent_of_input=True,
+            )
+            agent = NormalizingPolicyAgent(
+                net,
+                dist,
+                input_normalization=InputNormalization(
+                    AverageMeanStd(), input_size=obs_size
+                ),
+                input_clipping=10.0,
+            )
+        policy_loss = {
+            "ppo": lambda: policy_losses.ppo(epsilon=args.ppo_epsilon),
+            "vmpo": lambda: policy_losses.vmpo(e_n=args.vmpo_e_n),
+            "awr": lambda: policy_losses.awr(
+                beta=args.awr_beta, w_max=args.awr_w_max
             ),
-            input_clipping=10.0,
+            "pg": policy_losses.pg,
+            "vtrace": policy_losses.vtrace_is,
+        }[args.policy_loss]()
+        advantage_estimator = (
+            GAE(lambda_=args.lambda_)
+            if args.advantage_estimator == "gae"
+            else VTraceAdvantage(lambda_=args.lambda_)
         )
         loss = GeneralizedOnPolicyLoss(
             agent=agent,
             reward_normalizer=PopArt(AverageMeanStd(), compensate=False),
             parametric_action_distribution=dist,
-            advantage_estimator=GAE(lambda_=args.lambda_),
-            policy_loss=policy_losses.ppo(epsilon=0.2),
+            advantage_estimator=advantage_estimator,
+            policy_loss=policy_loss,
             discount_factor=args.discounting,
-            regularizer=KLPolicyRegularizer(entropy=0.0),
+            regularizer=KLPolicyRegularizer(entropy=args.ppo_entropy_cost),
             baseline_cost=1.0,
+        )
+        # Split modes flatten time into batch and forbid recurrent state
+        # (reference ppo_training_step_utils.py:105-220).
+        batch_mode = args.batch_mode or (
+            "shuffle" if recurrent else "split"
         )
         config = PPOConfig(
             epochs_per_step=args.epochs_per_step,
-            batch_mode=args.batch_mode,
+            batch_mode=batch_mode,
             batches_per_step=args.batches_per_step,
         )
         if location == "device":

@@ -69,6 +69,42 @@ def main():
         flush=True,
     )
 
+    # R2D2 with replay state sharded over both hosts — insert, prioritized
+    # sampling, IS weights and the priority write-back run as one global
+    # SPMD program; per-host replay shards are the semantics the reference
+    # realizes with per-host buffers (agents/r2d2/learner.py:387-468).
+    from seed_rl_tpu.agents import r2d2
+    from seed_rl_tpu.envs import DiscreteMatchEnv
+    from seed_rl_tpu.models.dueling_mlp import VectorDuelingDQNNet
+
+    qenv = BatchedEnv(DiscreteMatchEnv(n_actions=4), 16)
+    qnet = VectorDuelingDQNNet(
+        num_actions=4, mlp_sizes=(16,), lstm_size=8, hidden_size=16
+    )
+    qagent = r2d2.R2D2Agent(qnet, r2d2.training_env_epsilons(16))
+    qengine = RolloutEngine(
+        qenv, qagent, unroll_length=4, num_overlapping_steps=1
+    )
+    qconfig = r2d2.R2D2Config(
+        burn_in=1, n_steps=2, replay_buffer_size=64,
+        replay_buffer_min_size=16, batch_size=8, num_eval_envs=0,
+    )
+    qlearner = r2d2.R2D2Learner(qengine, qagent, qconfig, optax.adam(1e-3))
+    qdist = DistributedLearner(qlearner, make_mesh(8))
+    qstate = qdist.init(jax.random.PRNGKey(1))
+    qstate = qdist.warmup_step(qstate)
+    for _ in range(2):
+        qstate, qmetrics = qdist.train_step(qstate)
+    print(
+        "R2D2_METRICS",
+        process_id,
+        float(qmetrics["losses/td"]),
+        float(qmetrics["replay/sampled_priority_mean"]),
+        float(qmetrics["replay/importance_weight_mean"]),
+        int(qstate.step),
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     main()

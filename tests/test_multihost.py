@@ -61,3 +61,21 @@ def test_two_process_mesh_trains_identically():
     assert vals[0][1:] == vals[1][1:], lines  # bitwise-identical metrics
     assert float(vals[0][1]) == float(vals[0][1])  # finite (not NaN)
     assert vals[0][3] == "3"
+
+    # R2D2 with cross-host sharded replay: the risky per-host-semantics
+    # path (round-1 review weak #7) — insert/sample/priority write-back as
+    # one global program must agree bitwise across processes too.
+    qlines = [
+        line
+        for out in outs
+        for line in out.splitlines()
+        if line.startswith("R2D2_METRICS")
+    ]
+    assert len(qlines) == 2, outs
+    qvals = sorted(tuple(line.split()[1:]) for line in qlines)
+    assert qvals[0][0] == "0" and qvals[1][0] == "1"
+    assert qvals[0][1:] == qvals[1][1:], qlines
+    assert qvals[0][4] == "2"
+    import math
+
+    assert math.isfinite(float(qvals[0][1]))

@@ -185,3 +185,65 @@ def test_ppo_obs_normalization_stats_update():
     state, _ = jax.jit(learner.train_step)(state)
     # (T+1) * B observations tracked per dim.
     assert float(state.obs_norm.observation_count[0]) == 5 * 8
+
+
+def _make_discrete_ppo_learner(policy_loss, epochs_per_step=2,
+                               batches_per_step=2):
+    """Discrete PPO family: PolicyAgent + MLPAndLSTM (the DmLab PPO shape,
+    reference mujoco/ppo_main.py gin seams with discrete nets)."""
+    from seed_rl_tpu.agent import PolicyAgent
+    from seed_rl_tpu.envs import DiscreteMatchEnv
+    from seed_rl_tpu.models import MLPAndLSTM
+
+    env = BatchedEnv(DiscreteMatchEnv(n_actions=4), 16)
+    dist = pd.CategoricalDistribution(4)
+    net = MLPAndLSTM(
+        parametric_distribution_param_size=dist.param_size,
+        mlp_sizes=(32,), lstm_sizes=(16,),
+    )
+    agent = PolicyAgent(net, dist)
+    loss = GeneralizedOnPolicyLoss(
+        agent=agent,
+        reward_normalizer=PopArt(AverageMeanStd(), compensate=False),
+        parametric_action_distribution=dist,
+        advantage_estimator=GAE(lambda_=0.95),
+        policy_loss=policy_loss,
+        discount_factor=0.9,
+        regularizer=KLPolicyRegularizer(entropy=0.0),
+        baseline_cost=1.0,
+    )
+    engine = RolloutEngine(env, agent, 8)
+    config = PPOConfig(
+        epochs_per_step=epochs_per_step,
+        batch_mode="shuffle",  # recurrent net: split modes forbidden
+        batches_per_step=batches_per_step,
+    )
+    optimizer = optax.chain(optax.clip_by_global_norm(0.5), optax.adam(1e-2))
+    return PPOLearner(engine, agent, loss, config, optimizer)
+
+
+@pytest.mark.parametrize(
+    "loss_factory,min_gain",
+    [
+        (lambda: policy_losses.ppo(epsilon=0.2), 1.0),
+        # V-MPO's top-half + Lagrange temperature learns slower on this
+        # env; require clear but smaller improvement.
+        (lambda: policy_losses.vmpo(e_n=0.1), 0.5),
+        (lambda: policy_losses.awr(beta=1.0, w_max=20.0), 1.0),
+    ],
+    ids=["ppo", "vmpo", "awr"],
+)
+def test_discrete_ppo_family_learns(loss_factory, min_gain):
+    """--agent=ppo --policy_loss={ppo,vmpo,awr} on a toy discrete env
+    (round-1 review item #8): each loss family must improve the return."""
+    learner = _make_discrete_ppo_learner(loss_factory())
+    state = jax.jit(learner.init)(jax.random.PRNGKey(0))
+    run = jax.jit(lambda s: learner.train_many(s, 15))
+    state, _ = run(state)
+    early = _mean_return(state)
+    state = state._replace(stats=episode_stats.reset_window(state.stats))
+    for _ in range(4):
+        state, _ = run(state)
+    late = _mean_return(state)
+    # DiscreteMatchEnv: ~2.5 expected at random (10 steps, 1/4 hit), 10 max.
+    assert late > early + min_gain, (early, late)
