@@ -1,7 +1,6 @@
 """Benchmark: env-frames/s per chip for the three headline workloads.
 
-Emits one JSON line per workload (the primary V-trace metric is printed
-last so single-line consumers keep round-over-round continuity):
+Emits one JSON line per workload, primary (V-trace) first:
 
 1. ``r2d2_atari_env_frames_per_sec_per_chip`` — fused R2D2 at the reference
    cloud shape (unroll 80, burn-in 40, batch 64, prioritized replay +
@@ -226,9 +225,11 @@ def bench_ppo():
 
 
 def main():
+    # Primary metric first: each line is flushed as it completes, so a
+    # driver-side timeout can only truncate the secondary workloads.
+    bench_vtrace()
     bench_r2d2()
     bench_ppo()
-    bench_vtrace()  # primary metric last (single-line consumers keep it)
 
 
 if __name__ == "__main__":

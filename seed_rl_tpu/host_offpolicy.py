@@ -147,13 +147,23 @@ def host_offpolicy_loop(
                 )
                 metrics.update(stacked)
                 window_logs = []
-            for name, s in (("episodes", stats), ("eval_episodes", eval_stats)):
-                n = float(s.num_episodes)
-                if n > 0:
-                    metrics[f"{name}/mean_return"] = float(s.sum_return) / n
-                    metrics[f"{name}/mean_length"] = float(s.sum_length) / n
-            stats = episode_stats.reset_window(stats)
-            eval_stats = episode_stats.reset_window(eval_stats)
+            # Windows accumulate until at least one episode completed (long
+            # episodes vs. short log cadence would otherwise yield mostly
+            # empty windows and no return curve).
+            n = float(stats.num_episodes)
+            if n > 0:
+                metrics["episodes/mean_return"] = float(stats.sum_return) / n
+                metrics["episodes/mean_length"] = float(stats.sum_length) / n
+                stats = episode_stats.reset_window(stats)
+            n_eval = float(eval_stats.num_episodes)
+            if n_eval > 0:
+                metrics["eval_episodes/mean_return"] = (
+                    float(eval_stats.sum_return) / n_eval
+                )
+                metrics["eval_episodes/mean_length"] = (
+                    float(eval_stats.sum_length) / n_eval
+                )
+                eval_stats = episode_stats.reset_window(eval_stats)
             metrics["replay/num_inserted"] = replay.num_inserted
             metrics["replay/ram_gb"] = round(replay.nbytes() / 2**30, 3)
             logger.log(int(state.step), metrics, frames=frames)

@@ -164,6 +164,18 @@ def parse_args(argv=None):
     # SAC.
     p.add_argument("--her_window_length", type=int, default=0)
     p.add_argument("--polyak", type=float, default=0.9)
+    p.add_argument("--sac_entropy_cost", type=float, default=0.01,
+                   help="initial entropy cost alpha (reference "
+                        "agents/sac/learner.py:75)")
+    p.add_argument("--target_entropy", default=None,
+                   help="if set, alpha is auto-adjusted toward this policy "
+                        "entropy (reference learner.py:76-79); 'auto' = "
+                        "-action_dim (the standard SAC heuristic)")
+    p.add_argument("--entropy_cost_adjustment_speed", type=float,
+                   default=1.0)
+    p.add_argument("--bootstrap_net", default="v", choices=["v", "q"],
+                   help="bootstrap from target V (original SAC) or target "
+                        "min-Q + entropy (arXiv:1812.05905)")
     p.add_argument("--sac_net", default="mlp", choices=["mlp", "lstm"],
                    help="mlp = ActorCriticMLP; lstm = recurrent "
                         "ActorCriticLSTM (LSTM + feed-forward branch)")
@@ -886,8 +898,24 @@ def main(argv=None):
             normalize_observations=args.normalize_observations,
         )
         her_window = args.her_window_length or None
+        target_entropy = args.target_entropy
+        if target_entropy == "auto":
+            # Standard SAC heuristic: -dim(action space).
+            dim = (
+                1 if isinstance(space, gym.spaces.Discrete)
+                else int(np.prod(space.shape))
+            )
+            target_entropy = -float(dim)
+        elif target_entropy is not None:
+            target_entropy = float(target_entropy)
         config = sac.SACConfig(
             discounting=args.discounting,
+            entropy_cost=args.sac_entropy_cost,
+            target_entropy=target_entropy,
+            entropy_cost_adjustment_speed=(
+                args.entropy_cost_adjustment_speed
+            ),
+            bootstrap_net=args.bootstrap_net,
             batch_size=args.batch_size,
             replay_buffer_size=args.replay_buffer_size,
             replay_buffer_min_size=args.replay_buffer_min_size,
