@@ -35,6 +35,10 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from seed_rl_tpu.utils.compilation_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 BASELINE_FRAMES_PER_SEC_PER_CHIP = 40_000.0
 
 

@@ -382,6 +382,12 @@ def main(argv=None):
     args = parse_args(argv)
     result_snapshots = None  # in-memory LearnerState snapshots (PPO)
 
+    # Restarts (preemption recovery, eval jobs, re-runs) reload compiled
+    # executables from disk instead of re-paying minutes of XLA builds.
+    from seed_rl_tpu.utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     if args.run_mode == "actor":
         # Env-stepping process against a remote learner's socket server
         # (reference common/actor.py:45-185 + gcp/run.py fleet shape).
