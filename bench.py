@@ -28,6 +28,7 @@ reliably block in block_until_ready).
 """
 
 import json
+import os
 import time
 
 import jax
@@ -228,12 +229,58 @@ def bench_ppo():
     _emit("ppo_env_frames_per_sec_per_chip", fps)
 
 
+def bench_scaling():
+    """Weak-scaling efficiency across real chips (skipped single-chip).
+
+    Emits ``scaling_efficiency_1_to_N_replicas`` when more than one real
+    device is visible; on one chip there is nothing to measure (the SPMD
+    code path itself is validated by the virtual-mesh tests and the
+    multichip dryrun). vs_baseline compares against BASELINE.md's >=80%
+    1->N weak-scaling target.
+    """
+    devices = jax.devices()
+    if len(devices) < 2 or devices[0].platform == "cpu":
+        return
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
+    )
+    import bench_scaling as harness
+
+    replicas, n = [], 1
+    while n <= len(devices):
+        replicas.append(n)
+        n *= 2
+    results = {
+        r: harness.measure(
+            "atari", r, envs_per_replica=256, unroll=32,
+            steps_per_call=2, calls=4,
+        )
+        for r in replicas
+    }
+    n_max = replicas[-1]
+    eff = results[n_max] / (results[1] * n_max)
+    print(
+        json.dumps(
+            {
+                "metric": f"scaling_efficiency_1_to_{n_max}_replicas",
+                "value": round(eff, 4),
+                "unit": "fraction",
+                "vs_baseline": round(eff / 0.80, 3),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main():
     # Primary metric first: each line is flushed as it completes, so a
     # driver-side timeout can only truncate the secondary workloads.
     bench_vtrace()
     bench_r2d2()
     bench_ppo()
+    bench_scaling()
 
 
 if __name__ == "__main__":

@@ -27,7 +27,10 @@
 #include <thread>
 #include <vector>
 
+#include <arpa/inet.h>
 #include <errno.h>
+#include <netinet/in.h>
+#include <netinet/tcp.h>
 #include <string.h>
 #include <sys/socket.h>
 #include <sys/un.h>
@@ -316,6 +319,7 @@ bool WriteFull(int fd, const void* buf, size_t n) {
 struct TransportServer {
   Batcher* batcher;
   int listen_fd = -1;
+  bool is_tcp = false;
   std::string spec_blob;
   std::thread accept_thread;
   std::mutex mu;
@@ -376,6 +380,12 @@ struct TransportServer {
         if (errno == EINTR) continue;
         return;  // listen fd closed (shutdown)
       }
+      if (is_tcp) {
+        // One small request/response pair per env transition: Nagle
+        // batching would add RTT-scale latency to every inference call.
+        int one = 1;
+        ::setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+      }
       connections.fetch_add(1, std::memory_order_relaxed);
       std::lock_guard<std::mutex> lock(mu);
       if (shutting_down.load(std::memory_order_relaxed)) {
@@ -390,31 +400,75 @@ struct TransportServer {
 
 extern "C" {
 
-// Starts a unix-domain-socket server for `batcher` at `path`. `spec_blob`
+// Starts a socket server for `batcher` at `address` — either a unix-domain
+// path or "host:port" / "tcp://host:port" for cross-machine actor fleets
+// (the reference's server binds TCP the same way, grpc.cc:591-861; port 0
+// picks an ephemeral port, readable via transport_server_port). `spec_blob`
 // (may be null) is sent to every client at connect time (signature
 // discovery). Returns null on bind/listen failure.
-TransportServer* transport_server_create(Batcher* batcher, const char* path,
+TransportServer* transport_server_create(Batcher* batcher,
+                                         const char* address,
                                          const char* spec_blob,
                                          size_t spec_len) {
-  sockaddr_un addr;
-  if (strlen(path) >= sizeof(addr.sun_path)) return nullptr;
-  int fd = ::socket(AF_UNIX, SOCK_STREAM, 0);
-  if (fd < 0) return nullptr;
-  std::memset(&addr, 0, sizeof(addr));
-  addr.sun_family = AF_UNIX;
-  std::strncpy(addr.sun_path, path, sizeof(addr.sun_path) - 1);
-  ::unlink(path);
-  if (::bind(fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) < 0 ||
-      ::listen(fd, 128) < 0) {
-    ::close(fd);
-    return nullptr;
+  std::string addr_str(address);
+  if (addr_str.rfind("tcp://", 0) == 0) addr_str = addr_str.substr(6);
+  int fd = -1;
+  size_t colon = addr_str.rfind(':');
+  bool is_tcp = colon != std::string::npos &&
+                addr_str.find('/') == std::string::npos;
+  if (is_tcp) {
+    std::string host = addr_str.substr(0, colon);
+    int port = std::atoi(addr_str.c_str() + colon + 1);
+    if (host.empty() || host == "[::]") host = "0.0.0.0";
+    sockaddr_in addr;
+    std::memset(&addr, 0, sizeof(addr));
+    addr.sin_family = AF_INET;
+    addr.sin_port = htons(static_cast<uint16_t>(port));
+    if (::inet_pton(AF_INET, host.c_str(), &addr.sin_addr) != 1)
+      return nullptr;
+    fd = ::socket(AF_INET, SOCK_STREAM, 0);
+    if (fd < 0) return nullptr;
+    int one = 1;
+    ::setsockopt(fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+    if (::bind(fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) < 0 ||
+        ::listen(fd, 128) < 0) {
+      ::close(fd);
+      return nullptr;
+    }
+  } else {
+    sockaddr_un addr;
+    if (addr_str.size() >= sizeof(addr.sun_path)) return nullptr;
+    fd = ::socket(AF_UNIX, SOCK_STREAM, 0);
+    if (fd < 0) return nullptr;
+    std::memset(&addr, 0, sizeof(addr));
+    addr.sun_family = AF_UNIX;
+    std::strncpy(addr.sun_path, addr_str.c_str(),
+                 sizeof(addr.sun_path) - 1);
+    ::unlink(addr_str.c_str());
+    if (::bind(fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) < 0 ||
+        ::listen(fd, 128) < 0) {
+      ::close(fd);
+      return nullptr;
+    }
   }
   auto* server = new TransportServer;
   server->batcher = batcher;
   server->listen_fd = fd;
+  server->is_tcp = is_tcp;
   if (spec_blob && spec_len) server->spec_blob.assign(spec_blob, spec_len);
   server->accept_thread = std::thread([server] { server->AcceptLoop(); });
   return server;
+}
+
+// Bound TCP port (for port-0 ephemeral binds); 0 for unix-domain servers.
+int transport_server_port(TransportServer* s) {
+  if (!s->is_tcp) return 0;
+  sockaddr_in addr;
+  socklen_t len = sizeof(addr);
+  if (::getsockname(s->listen_fd, reinterpret_cast<sockaddr*>(&addr),
+                    &len) != 0)
+    return 0;
+  return static_cast<int>(ntohs(addr.sin_port));
 }
 
 uint64_t transport_server_connections(TransportServer* s) {

@@ -94,6 +94,8 @@ def _build_and_load():
         ]
         lib.transport_server_connections.restype = ctypes.c_uint64
         lib.transport_server_connections.argtypes = [ctypes.c_void_p]
+        lib.transport_server_port.restype = ctypes.c_int
+        lib.transport_server_port.argtypes = [ctypes.c_void_p]
         lib.transport_server_shutdown.argtypes = [ctypes.c_void_p]
         lib.transport_server_destroy.argtypes = [ctypes.c_void_p]
         _LIB = lib
@@ -267,9 +269,12 @@ class InferenceServer:
         return jax.tree.map(lambda x: x[0], decoded)
 
     def serve_unix(self, path: str, config=None) -> None:
-        """Open a native unix-domain-socket front-end at ``path``.
+        """Open a native socket front-end at ``path``.
 
-        Remote actor processes connect with
+        ``path`` is a unix-domain socket path, or ``host:port`` /
+        ``tcp://host:port`` for cross-machine actor fleets (port 0 binds an
+        ephemeral port — read it from :attr:`bound_port`). Remote actor
+        processes connect with
         ``seed_rl_tpu.runtime.transport.SocketClient`` (or
         ``RemoteActorClient``); their calls flow through the same C++
         batcher as in-process ``inference()`` calls. The handshake carries
@@ -287,7 +292,16 @@ class InferenceServer:
             self._handle, path.encode(), blob, len(blob)
         )
         if not self._transport:
-            raise OSError(f"failed to bind unix socket at {path}")
+            raise OSError(f"failed to bind transport socket at {path}")
+
+    serve = serve_unix  # address-generic alias
+
+    @property
+    def bound_port(self) -> int:
+        """Bound TCP port (0 for unix-domain transports / no transport)."""
+        if not self._transport:
+            return 0
+        return self._lib.transport_server_port(self._transport)
 
     @property
     def stats(self):

@@ -37,8 +37,24 @@ def _read_full(sock: socket.socket, n: int) -> bytes:
     return b"".join(parts)
 
 
+def parse_address(address: str):
+    """``(family, target)`` for a transport address.
+
+    ``host:port`` / ``tcp://host:port`` -> AF_INET (cross-machine fleets,
+    the reference's server_address form); anything else is a unix-domain
+    socket path (single-host fleets, no TCP stack overhead).
+    """
+    addr = address[6:] if address.startswith("tcp://") else address
+    if ":" in addr and "/" not in addr:
+        host, port = addr.rsplit(":", 1)
+        if not host or host == "[::]":
+            host = "127.0.0.1"
+        return socket.AF_INET, (host, int(port))
+    return socket.AF_UNIX, addr
+
+
 class SocketClient:
-    """Blocking per-step inference client over a unix-domain socket."""
+    """Blocking per-step inference client over a unix or TCP socket."""
 
     def __init__(
         self,
@@ -47,17 +63,24 @@ class SocketClient:
         result_specs=None,
         connect_timeout: float = 10.0,
     ):
+        family, target = parse_address(path)
         deadline = time.time() + connect_timeout
         while True:
-            self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            self._sock = socket.socket(family, socket.SOCK_STREAM)
             try:
-                self._sock.connect(path)
+                self._sock.connect(target)
                 break
             except (ConnectionRefusedError, FileNotFoundError):
                 self._sock.close()
                 if time.time() > deadline:
                     raise
                 time.sleep(0.05)
+        if family == socket.AF_INET:
+            # One small request/response per env transition: disable Nagle
+            # or every inference call eats an RTT of batching delay.
+            self._sock.setsockopt(
+                socket.IPPROTO_TCP, socket.TCP_NODELAY, 1
+            )
 
         magic = _read_full(self._sock, 4)
         if magic != b"SRL1":

@@ -270,3 +270,50 @@ def test_size_mismatch_rejected():
             result_specs=_spec((2,), np.float32),
         )
     server.shutdown()
+
+
+def test_tcp_roundtrip():
+    """Same wire contract over TCP (cross-machine fleets): ephemeral-port
+    bind, bound_port discovery, NODELAY round-trips, clean shutdown."""
+    specs = _spec((2,), np.float32)
+    server = InferenceServer(
+        [lambda env_ids, x: x + 1.0],
+        specs,
+        specs,
+        batch_size=2,
+        flush_timeout_ms=50,
+    )
+    server.serve("127.0.0.1:0", config={"via": "tcp"})
+    port = server.bound_port
+    assert port > 0
+    address = f"127.0.0.1:{port}"
+    clients = [SocketClient(address) for _ in range(2)]
+    assert clients[0].get_config() == {"via": "tcp"}
+    results = {}
+
+    def worker(i):
+        results[i] = clients[i].inference(
+            i, np.array([i, i + 0.5], np.float32)
+        )
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=15)
+    for i in range(2):
+        np.testing.assert_allclose(results[i], [i + 1.0, i + 1.5])
+    for c in clients:
+        c.close()
+    server.shutdown()
+
+
+def test_tcp_url_prefix_parse():
+    from seed_rl_tpu.runtime.transport import parse_address
+    import socket as pysocket
+
+    assert parse_address("tcp://10.0.0.1:9000") == (
+        pysocket.AF_INET, ("10.0.0.1", 9000)
+    )
+    assert parse_address("[::]:9000")[1] == ("127.0.0.1", 9000)
+    assert parse_address("/tmp/x.sock") == (pysocket.AF_UNIX, "/tmp/x.sock")
