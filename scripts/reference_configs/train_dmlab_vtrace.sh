@@ -10,6 +10,7 @@ exec python -m seed_rl_tpu.train \
     --agent=vtrace --env=dmlab --game="$LEVEL" \
     --num_envs=512 --unroll_length=32 \
     --learning_rate=4e-4 --clip_norm=40 \
+    --lr_decay_multiplier=0 --adam_beta1=0 --adam_epsilon=3.125e-7 \
     --discounting=0.99 --entropy_cost=0.0025 \
     --total_environment_frames=10000000000 \
     --logdir="$LOGDIR" "${@:2}"

@@ -95,6 +95,15 @@ def parse_args(argv=None):
     p.add_argument("--num_envs", type=int, default=64)
     p.add_argument("--unroll_length", type=int, default=20)
     p.add_argument("--learning_rate", type=float, default=3e-4)
+    p.add_argument("--lr_decay_multiplier", type=float, default=1.0,
+                   help="linear lr decay to lr_decay_multiplier*lr over "
+                        "the frame budget (reference PolynomialDecay, "
+                        "dmlab/vtrace_main.py:46-50, mujoco/ppo_main.py:"
+                        "86-91; 1.0 = constant lr)")
+    p.add_argument("--adam_beta1", type=float, default=0.9,
+                   help="reference dmlab V-trace uses 0")
+    p.add_argument("--adam_epsilon", type=float, default=1e-8,
+                   help="reference dmlab V-trace uses 3.125e-7")
     p.add_argument("--clip_norm", type=float, default=40.0)
     p.add_argument("--discounting", type=float, default=0.99)
     p.add_argument("--entropy_cost", type=float, default=2.5e-4)
@@ -420,9 +429,36 @@ def main(argv=None):
         init_checkpoint=args.init_checkpoint,
     )
     rng = jax.random.PRNGKey(0)
+
+    # Linear decay over optimizer updates, the reference's PolynomialDecay
+    # (power=1) to lr_decay_multiplier*lr at final_iteration
+    # (agents/vtrace/learner.py:240, mujoco/ppo_main.py:86-91). Update
+    # counts per rollout step differ per agent: PPO applies
+    # epochs*batches updates, R2D2 train_batches_per_step, V-trace/SAC
+    # ~steps_per_call-independent one per step.
+    frames_per_rollout = max(1, args.num_envs * args.unroll_length)
+    rollouts = max(1, args.total_environment_frames // frames_per_rollout)
+    if args.agent == "ppo":
+        updates_per_rollout = max(
+            1, args.epochs_per_step * args.batches_per_step
+        )
+    elif args.agent == "r2d2":
+        updates_per_rollout = max(1, getattr(args, "train_batches_per_step", 1))
+    else:
+        updates_per_rollout = 1
+    if args.lr_decay_multiplier != 1.0:
+        learning_rate = optax.linear_schedule(
+            init_value=args.learning_rate,
+            end_value=args.lr_decay_multiplier * args.learning_rate,
+            transition_steps=int(rollouts * updates_per_rollout),
+        )
+    else:
+        learning_rate = args.learning_rate
     optimizer = optax.chain(
         optax.clip_by_global_norm(args.clip_norm),
-        optax.adam(args.learning_rate),
+        optax.adam(
+            learning_rate, b1=args.adam_beta1, eps=args.adam_epsilon
+        ),
     )
 
     if args.agent == "vtrace":

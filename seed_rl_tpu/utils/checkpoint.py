@@ -45,10 +45,19 @@ class CheckpointManager:
             if self._init_checkpoint:
                 return restore_from(self._init_checkpoint, state)
             return state
-        restored = self._mngr.restore(
-            self._mngr.latest_step(),
-            args=ocp.args.StandardRestore(state),
-        )
+        try:
+            restored = self._mngr.restore(
+                self._mngr.latest_step(),
+                args=ocp.args.StandardRestore(state),
+            )
+        except ValueError as exc:
+            raise ValueError(
+                "restore-on-start failed: the checkpoint in the logdir has "
+                "a different train-state structure than this run (config/"
+                "optimizer change?). Use a fresh --logdir, delete the stale "
+                "ckpt/ directory, or warm-start params only via "
+                f"--init_checkpoint. Original error: {exc}"
+            ) from exc
         self._last_save = time.time()
         return restored
 

@@ -20,11 +20,17 @@ CONFIGS = os.path.join(REPO, "scripts", "reference_configs")
 
 
 def _run_script(name, env_name, overrides, timeout=420):
+    # Fresh logdir: a stale one would restore-on-start from a previous
+    # test run's checkpoint, whose state structure may no longer match.
+    logdir = f"/tmp/seed_rl_tpu_cfg_smoke_{name}"
+    import shutil
+
+    shutil.rmtree(logdir, ignore_errors=True)
     env = {
         **os.environ,
         "JAX_PLATFORMS": "cpu",
         "PYTHONPATH": REPO,
-        "LOGDIR": f"/tmp/seed_rl_tpu_cfg_smoke_{name}",
+        "LOGDIR": logdir,
     }
     proc = subprocess.run(
         ["bash", os.path.join(CONFIGS, name), env_name] + overrides,
