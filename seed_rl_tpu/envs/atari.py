@@ -13,6 +13,14 @@ Parity with /root/reference/atari/:
 Requires ``ale_py`` (not bundled in this image); importing this module is
 safe, creating an env without ALE raises a clear error. Preprocessing is
 independently testable against synthetic frames.
+
+Provenance: ``AtariPreprocessing`` deliberately tracks the reference's
+Dopamine-derived implementation (atari_preprocessing.py, Apache-2.0)
+step-for-step — this is the one place where independent re-design would
+*break* parity, since published Atari curves are defined relative to this
+exact pixel pipeline. It is adapted to the gymnasium 5-tuple API and
+golden-tested byte-for-byte against the reference implementation
+(tests/test_atari_golden.py).
 """
 
 from typing import Optional

@@ -204,3 +204,31 @@ def test_her_no_substitution_when_probability_zero():
     np.testing.assert_allclose(
         np.asarray(sampled.env_outputs.reward)[:, 1:], want, atol=1e-6
     )
+
+
+def test_multi_axis_items_stored_flat():
+    """Multi-axis item leaves live as [size, flat] (layout-neutral 2D: XLA
+    would otherwise propagate a consumer layout through the sample gather
+    onto the whole buffer and relayout it on every sample), and round-trip
+    back to their item shape on sample."""
+    replay = PrioritizedReplay(size=6, importance_sampling_exponent=0.5)
+    item = {"frames": jnp.zeros((5, 4, 3), jnp.uint8), "r": jnp.zeros((5,))}
+    state = replay.init_state(item)
+    assert state.buffer["frames"].shape == (6, 60)
+    assert state.buffer["r"].shape == (6, 5)  # 1D items stay structured
+    values = {
+        "frames": jnp.arange(2 * 60, dtype=jnp.uint8).reshape(2, 5, 4, 3),
+        "r": jnp.ones((2, 5)),
+    }
+    state, _ = replay.insert(state, values, jnp.ones((2,)))
+    _, _, items = replay.sample(
+        state, jax.random.PRNGKey(0), 3, priority_exp=1.0
+    )
+    assert items["frames"].shape == (3, 5, 4, 3)
+    assert items["r"].shape == (3, 5)
+    # Every sampled item is one of the two inserted values, bit-for-bit.
+    flat = np.asarray(items["frames"]).reshape(3, -1)
+    for row in flat:
+        assert (row == np.asarray(values["frames"][0]).ravel()).all() or (
+            row == np.asarray(values["frames"][1]).ravel()
+        ).all()
