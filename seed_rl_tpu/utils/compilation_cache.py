@@ -38,6 +38,22 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
     try:
         import jax
 
+        # TPU/accelerator only. XLA:CPU caches AOT executables whose
+        # machine-feature stamp embeds compile-time tuning pseudo-features
+        # (+prefer-no-gather/scatter); reloading them in another process
+        # aborts with a feature-mismatch check. CPU compiles are seconds —
+        # the cache exists for the minutes-long TPU builds. Checked via
+        # config/env rather than jax.default_backend() so this never
+        # initializes the backend (callers may still need to force a
+        # platform).
+        platforms = os.environ.get("JAX_PLATFORMS", "")
+        try:
+            platforms = jax.config.jax_platforms or platforms
+        except Exception:
+            pass
+        if "cpu" in str(platforms):
+            return None
+
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # Cache every program that takes non-trivial time to build; the
