@@ -22,9 +22,21 @@ vs_baseline = measured / anchor, target >= 5 (BASELINE.md). PPO uses the
 same anchor for lack of any published number — treat its vs_baseline as a
 round-over-round tracking figure, not a parity claim.
 
+4. ``ppo_atari_env_frames_per_sec_per_chip`` — conv-PPO: AtariPolicyNet
+   (conv + LSTM) over 84x84 uint8 frames with the GeneralizedOnPolicyLoss
+   composition in shuffle batch mode — the visual-PPO workload class the
+   reference runs on DmLab/Atari via gin. The vector-obs
+   ``ppo_env_frames_per_sec_per_chip`` line is a round-over-round tracking
+   metric only (near-zero env/net cost; see its docstring).
+
 Methodology: iterations chain through a donated train state; one host fetch
-at the end (the axon relay charges ~20ms per fetch round-trip and does not
-reliably block in block_until_ready).
+per measurement window (the axon relay charges ~20ms per fetch round-trip
+and does not reliably block in block_until_ready). Each workload is
+measured over ``BENCH_WINDOWS`` (default 3) independent windows of
+``calls`` jitted invocations; the reported value is the MEDIAN window and
+``spread`` = (max-min)/median quantifies relay/session variance, so a
+regression is distinguishable from a noisy relay (sessions observed to
+swing 3-4x round-over-round in round 2).
 """
 
 import json
@@ -50,18 +62,33 @@ def _fetch_scalar(state):
     return float(jnp.sum(leaf) * 0 + 1)
 
 
-def _measure(run, state, frames_per_call, calls):
+NUM_WINDOWS = int(os.environ.get("BENCH_WINDOWS", "3"))
+
+
+def _measure(run, state, frames_per_call, calls, windows=None):
+    """Median frames/s over ``windows`` measurement windows + spread.
+
+    Returns ``(median_fps, spread)`` where spread = (max-min)/median over
+    the windows — a dispersion figure that makes a single noisy relay
+    session distinguishable from a real regression.
+    """
+    windows = NUM_WINDOWS if windows is None else windows
     state, _ = run(state)  # warmup: compile + one measured-shape execution
     _fetch_scalar(state)
-    t0 = time.perf_counter()
-    for _ in range(calls):
-        state, _ = run(state)
-    _fetch_scalar(state)
-    dt = time.perf_counter() - t0
-    return calls * frames_per_call / dt
+    fps = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(calls):
+            state, _ = run(state)
+        _fetch_scalar(state)
+        dt = time.perf_counter() - t0
+        fps.append(calls * frames_per_call / dt)
+    med = float(np.median(fps))
+    spread = float((max(fps) - min(fps)) / med) if med else 0.0
+    return med, spread
 
 
-def _emit(metric, fps):
+def _emit(metric, fps, spread=0.0):
     print(
         json.dumps(
             {
@@ -71,6 +98,7 @@ def _emit(metric, fps):
                 "vs_baseline": round(
                     fps / BASELINE_FRAMES_PER_SEC_PER_CHIP, 3
                 ),
+                "spread": round(spread, 3),
             }
         ),
         flush=True,
@@ -108,10 +136,10 @@ def bench_vtrace():
     run = jax.jit(
         lambda s: learner.train_many(s, steps_per_call), donate_argnums=0
     )
-    fps = _measure(
+    fps, spread = _measure(
         run, state, steps_per_call * num_envs * unroll_length, calls
     )
-    _emit("vtrace_atari_env_frames_per_sec_per_chip", fps)
+    _emit("vtrace_atari_env_frames_per_sec_per_chip", fps, spread)
 
 
 def bench_r2d2():
@@ -148,8 +176,8 @@ def bench_r2d2():
     while int(state.replay.num_inserted) < config.replay_buffer_min_size:
         state = warmup(state)
     run = jax.jit(lambda s: learner.train_many(s, 1), donate_argnums=0)
-    fps = _measure(run, state, num_envs * unroll, calls)
-    _emit("r2d2_atari_env_frames_per_sec_per_chip", fps)
+    fps, spread = _measure(run, state, num_envs * unroll, calls)
+    _emit("r2d2_atari_env_frames_per_sec_per_chip", fps, spread)
 
 
 def bench_ppo():
@@ -223,10 +251,79 @@ def bench_ppo():
     run = jax.jit(
         lambda s: learner.train_many(s, steps_per_call), donate_argnums=0
     )
-    fps = _measure(
+    fps, spread = _measure(
         run, state, steps_per_call * num_envs * unroll_length, calls
     )
-    _emit("ppo_env_frames_per_sec_per_chip", fps)
+    _emit("ppo_env_frames_per_sec_per_chip", fps, spread)
+
+
+def bench_ppo_atari():
+    """Conv-PPO: visual observations through the full PPO composition.
+
+    The reference's visual on-policy workload class (DmLab/Atari PPO via
+    gin — mujoco/ppo_main.py wiring with conv nets): AtariPolicyNet
+    (conv stack + LSTM256) on 84x84 uint8 frames, GAE + PPO-epsilon loss +
+    PopArt reward normalization, shuffle batch mode (recurrent nets forbid
+    the split modes, reference ppo_training_step_utils.py:105-220).
+    """
+    from seed_rl_tpu import distributions as pd
+    from seed_rl_tpu.agent import PolicyAgent
+    from seed_rl_tpu.agents.ppo import policy_losses
+    from seed_rl_tpu.agents.ppo.generalized_onpolicy_loss import (
+        GeneralizedOnPolicyLoss,
+    )
+    from seed_rl_tpu.agents.ppo.learner import PPOConfig, PPOLearner
+    from seed_rl_tpu.agents.ppo.policy_regularizers import (
+        KLPolicyRegularizer,
+    )
+    from seed_rl_tpu.envs import BatchedEnv
+    from seed_rl_tpu.envs.synthetic import SyntheticAtariEnv
+    from seed_rl_tpu.models.atari import AtariPolicyNet
+    from seed_rl_tpu.ops.advantages import GAE
+    from seed_rl_tpu.ops.popart import PopArt
+    from seed_rl_tpu.ops.running_statistics import AverageMeanStd
+    from seed_rl_tpu.rollout import RolloutEngine
+
+    num_envs, unroll_length, steps_per_call, calls = 256, 32, 1, 8
+    num_actions = 18
+    env = BatchedEnv(SyntheticAtariEnv(num_actions=num_actions), num_envs)
+    dist = pd.CategoricalDistribution(num_actions)
+    net = AtariPolicyNet(
+        parametric_distribution_param_size=dist.param_size,
+        stack_size=4,
+        lstm_size=256,
+        dtype=jnp.bfloat16,
+    )
+    agent = PolicyAgent(net, dist)
+    loss = GeneralizedOnPolicyLoss(
+        agent=agent,
+        reward_normalizer=PopArt(AverageMeanStd(), compensate=False),
+        parametric_action_distribution=dist,
+        advantage_estimator=GAE(lambda_=0.95),
+        policy_loss=policy_losses.ppo(epsilon=0.2),
+        discount_factor=0.99,
+        regularizer=KLPolicyRegularizer(entropy=0.01),
+        baseline_cost=1.0,
+    )
+    engine = RolloutEngine(env, agent, unroll_length)
+    config = PPOConfig(
+        epochs_per_step=2, batch_mode="shuffle", batches_per_step=8
+    )
+    learner = PPOLearner(
+        engine,
+        agent,
+        loss,
+        config,
+        optax.chain(optax.clip_by_global_norm(0.5), optax.adam(3e-4)),
+    )
+    state = jax.jit(learner.init)(jax.random.PRNGKey(0))
+    run = jax.jit(
+        lambda s: learner.train_many(s, steps_per_call), donate_argnums=0
+    )
+    fps, spread = _measure(
+        run, state, steps_per_call * num_envs * unroll_length, calls
+    )
+    _emit("ppo_atari_env_frames_per_sec_per_chip", fps, spread)
 
 
 def bench_scaling():
@@ -279,6 +376,7 @@ def main():
     # driver-side timeout can only truncate the secondary workloads.
     bench_vtrace()
     bench_r2d2()
+    bench_ppo_atari()
     bench_ppo()
     bench_scaling()
 

@@ -65,8 +65,14 @@ class R2D2Agent:
 
     def policy_step(
         self, params, prev_action, env_output, core_state, rng,
-        deterministic=False,
+        deterministic=False, env_ids=None,
     ) -> Tuple[QAgentOutput, Any]:
+        """``env_ids``: optional i32[batch] of global env ids. In the fused
+        rollout batch position == env id, so ``self.epsilons`` applies
+        positionally; remote-actor inference batches are arbitrary env
+        subsets, so the per-env epsilon ladder is gathered by id (the
+        reference gathers epsilons the same way in its inference fn,
+        agents/r2d2/learner.py:757-763)."""
         output, new_state = self.net.apply(
             params, prev_action, env_output, core_state
         )
@@ -77,8 +83,11 @@ class R2D2Agent:
         random_actions = jax.random.randint(
             rand_rng, (batch,), 0, self.num_actions, dtype=jnp.int32
         )
+        epsilons = (
+            self.epsilons if env_ids is None else self.epsilons[env_ids]
+        )
         take_random = (
-            jax.random.uniform(pick_rng, (batch,)) < self.epsilons
+            jax.random.uniform(pick_rng, (batch,)) < epsilons
         )
         action = jnp.where(take_random, random_actions, output.action)
         return QAgentOutput(action, output.q_values), new_state

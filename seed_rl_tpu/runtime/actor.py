@@ -127,11 +127,27 @@ class InferenceBridge:
         )
         self._prev_actions: Optional[np.ndarray] = None
 
-        def policy_step(params, prev_action, env_output, core_state, rng):
+        # Agents with per-env policy data (R2D2's epsilon ladder) take the
+        # global env ids of the batch rows — inference batches are arbitrary
+        # env subsets, so positional indexing would misassign epsilons.
+        import inspect
+
+        self._pass_env_ids = (
+            "env_ids" in inspect.signature(agent.policy_step).parameters
+        )
+
+        def policy_step(params, prev_action, env_output, core_state, rng,
+                        env_ids):
             rng, key = jax.random.split(rng)
-            out, state = agent.policy_step(
-                params, prev_action, env_output, core_state, key
-            )
+            if self._pass_env_ids:
+                out, state = agent.policy_step(
+                    params, prev_action, env_output, core_state, key,
+                    env_ids=env_ids,
+                )
+            else:
+                out, state = agent.policy_step(
+                    params, prev_action, env_output, core_state, key
+                )
             return out, state, rng
 
         self._policy_step = jax.jit(policy_step)
@@ -261,6 +277,7 @@ class InferenceBridge:
             jax.tree.map(jnp.asarray, kept_output),
             core_state,
             self._rng,
+            jnp.asarray(kept_env_ids, jnp.int32),
         )
         agent_output = jax.tree.map(np.asarray, agent_output)
         new_state = jax.tree.map(np.asarray, new_state)
@@ -330,13 +347,26 @@ class InferenceBridge:
         full_actions[kept_idx] = actions
         return (full_actions,)
 
-    def next_unroll_batch(self, batch_size: int, timeout: float = 10.0):
+    def next_unroll_batch(
+        self,
+        batch_size: int,
+        timeout: float = 10.0,
+        with_env_ids: bool = False,
+        training_only_below: Optional[int] = None,
+        excluded_sink: Optional[Callable] = None,
+    ):
         """Collects ``batch_size`` completed unrolls, stacked time-major.
 
         Returns an ``Unroll``-compatible (agent_state, timesteps) pair with
         leaves [T_total, batch, ...], ready for any learner's ``update``.
         Surplus unrolls are kept for the next call (like the reference's
-        unroll queue).
+        unroll queue). With ``with_env_ids`` the return is
+        ``(env_ids i64[batch], Unroll)`` so off-policy learners can key
+        episode accounting exactly by env. ``training_only_below=N``
+        excludes eval-env unrolls (env_id >= N) from the batch (reference
+        r2d2 learner.py:793-803 — eval experience is never stored); each
+        excluded ``(env_id, first_state, item_major_timesteps)`` goes to
+        ``excluded_sink`` for eval episode accounting.
         """
         import jax
         import jax.numpy as jnp
@@ -350,28 +380,36 @@ class InferenceBridge:
                 timeout=timeout
             )
             for j in range(len(completed_ids)):
-                self._pending.append(
-                    (
-                        jax.tree.map(lambda x: x[j], first_states),
-                        jax.tree.map(lambda x: x[j], unrolls),
-                    )
+                env_id = int(completed_ids[j])
+                item = (
+                    env_id,
+                    jax.tree.map(lambda x: x[j], first_states),
+                    jax.tree.map(lambda x: x[j], unrolls),
                 )
+                if (
+                    training_only_below is not None
+                    and env_id >= training_only_below
+                ):
+                    if excluded_sink is not None:
+                        excluded_sink(*item)
+                    continue
+                self._pending.append(item)
         items = self._pending[:batch_size]
         self._pending = self._pending[batch_size:]
 
         state_tree = jax.tree.map(
             lambda *xs: jnp.stack([jnp.asarray(x) for x in xs], axis=0),
-            *[s for s, _ in items],
+            *[s for _, s, _ in items],
         )
         # Item-major [batch, T, ...] -> time-major [T, batch, ...].
         stacked = jax.tree.map(
             lambda *xs: jnp.swapaxes(
                 jnp.stack([jnp.asarray(x) for x in xs], axis=0), 0, 1
             ),
-            *[u for _, u in items],
+            *[u for _, _, u in items],
         )
         prev_actions, env_outputs, agent_outputs = stacked
-        return Unroll(
+        unroll = Unroll(
             agent_state=state_tree,
             timesteps=Timestep(
                 prev_action=prev_actions,
@@ -379,6 +417,10 @@ class InferenceBridge:
                 agent_output=agent_outputs,
             ),
         )
+        if with_env_ids:
+            env_ids = np.asarray([e for e, _, _ in items], np.int64)
+            return env_ids, unroll
+        return unroll
 
 
 def actor_loop(

@@ -29,6 +29,7 @@
 
 #include <arpa/inet.h>
 #include <errno.h>
+#include <netdb.h>
 #include <netinet/in.h>
 #include <netinet/tcp.h>
 #include <string.h>
@@ -417,24 +418,43 @@ TransportServer* transport_server_create(Batcher* batcher,
   bool is_tcp = colon != std::string::npos &&
                 addr_str.find('/') == std::string::npos;
   if (is_tcp) {
-    std::string host = addr_str.substr(0, colon);
-    int port = std::atoi(addr_str.c_str() + colon + 1);
-    if (host.empty() || host == "[::]") host = "0.0.0.0";
-    sockaddr_in addr;
-    std::memset(&addr, 0, sizeof(addr));
-    addr.sin_family = AF_INET;
-    addr.sin_port = htons(static_cast<uint16_t>(port));
-    if (::inet_pton(AF_INET, host.c_str(), &addr.sin_addr) != 1)
-      return nullptr;
-    fd = ::socket(AF_INET, SOCK_STREAM, 0);
-    if (fd < 0) return nullptr;
-    int one = 1;
-    ::setsockopt(fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
-    if (::bind(fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) < 0 ||
-        ::listen(fd, 128) < 0) {
-      ::close(fd);
-      return nullptr;
+    // Hostname / IPv4 / bracketed-IPv6 ("[::1]:9000") resolution via
+    // getaddrinfo, with AI_PASSIVE wildcard binds for empty hosts.
+    std::string host, port_s;
+    if (!addr_str.empty() && addr_str[0] == '[') {
+      size_t close_b = addr_str.find(']');
+      if (close_b == std::string::npos ||
+          close_b + 1 >= addr_str.size() || addr_str[close_b + 1] != ':')
+        return nullptr;
+      host = addr_str.substr(1, close_b - 1);
+      port_s = addr_str.substr(close_b + 2);
+    } else {
+      host = addr_str.substr(0, colon);
+      port_s = addr_str.substr(colon + 1);
     }
+    addrinfo hints;
+    std::memset(&hints, 0, sizeof(hints));
+    hints.ai_family = AF_UNSPEC;
+    hints.ai_socktype = SOCK_STREAM;
+    hints.ai_flags = AI_PASSIVE;
+    addrinfo* res = nullptr;
+    if (::getaddrinfo(host.empty() ? nullptr : host.c_str(),
+                      port_s.c_str(), &hints, &res) != 0 ||
+        res == nullptr)
+      return nullptr;
+    for (addrinfo* ai = res; ai != nullptr; ai = ai->ai_next) {
+      fd = ::socket(ai->ai_family, ai->ai_socktype, ai->ai_protocol);
+      if (fd < 0) continue;
+      int one = 1;
+      ::setsockopt(fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+      if (::bind(fd, ai->ai_addr, ai->ai_addrlen) == 0 &&
+          ::listen(fd, 128) == 0)
+        break;
+      ::close(fd);
+      fd = -1;
+    }
+    ::freeaddrinfo(res);
+    if (fd < 0) return nullptr;
   } else {
     sockaddr_un addr;
     if (addr_str.size() >= sizeof(addr.sun_path)) return nullptr;
@@ -463,12 +483,16 @@ TransportServer* transport_server_create(Batcher* batcher,
 // Bound TCP port (for port-0 ephemeral binds); 0 for unix-domain servers.
 int transport_server_port(TransportServer* s) {
   if (!s->is_tcp) return 0;
-  sockaddr_in addr;
+  sockaddr_storage addr;
   socklen_t len = sizeof(addr);
   if (::getsockname(s->listen_fd, reinterpret_cast<sockaddr*>(&addr),
                     &len) != 0)
     return 0;
-  return static_cast<int>(ntohs(addr.sin_port));
+  if (addr.ss_family == AF_INET6)
+    return static_cast<int>(
+        ntohs(reinterpret_cast<sockaddr_in6*>(&addr)->sin6_port));
+  return static_cast<int>(
+      ntohs(reinterpret_cast<sockaddr_in*>(&addr)->sin_port));
 }
 
 uint64_t transport_server_connections(TransportServer* s) {

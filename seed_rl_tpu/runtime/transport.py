@@ -46,8 +46,11 @@ def parse_address(address: str):
     """
     addr = address[6:] if address.startswith("tcp://") else address
     if ":" in addr and "/" not in addr:
-        host, port = addr.rsplit(":", 1)
-        if not host or host == "[::]":
+        if addr.startswith("["):  # bracketed IPv6, e.g. "[::1]:9000"
+            host, _, port = addr[1:].partition("]:")
+        else:
+            host, port = addr.rsplit(":", 1)
+        if not host or host == "::":
             host = "127.0.0.1"
         return socket.AF_INET, (host, int(port))
     return socket.AF_UNIX, addr
@@ -66,12 +69,20 @@ class SocketClient:
         family, target = parse_address(path)
         deadline = time.time() + connect_timeout
         while True:
-            self._sock = socket.socket(family, socket.SOCK_STREAM)
             try:
-                self._sock.connect(target)
+                if family == socket.AF_INET:
+                    # create_connection resolves hostnames and picks the
+                    # right family (v4/v6) via getaddrinfo.
+                    self._sock = socket.create_connection(target)
+                else:
+                    self._sock = socket.socket(family, socket.SOCK_STREAM)
+                    self._sock.connect(target)
                 break
-            except (ConnectionRefusedError, FileNotFoundError):
-                self._sock.close()
+            except (ConnectionRefusedError, FileNotFoundError, OSError):
+                try:
+                    self._sock.close()
+                except AttributeError:
+                    pass
                 if time.time() > deadline:
                     raise
                 time.sleep(0.05)

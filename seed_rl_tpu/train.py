@@ -91,7 +91,10 @@ def parse_args(argv=None):
     p.add_argument("--env_name", default="HalfCheetah-v5")
     p.add_argument("--game", default="Pong")
     p.add_argument("--logdir", default=None)
-    p.add_argument("--total_environment_frames", type=int, default=1_000_000)
+    # Scientific notation tolerant: deploy docs and reference launch
+    # scripts pass frame budgets like 1e9 (gcp/train_atari.sh uses 50e9).
+    p.add_argument("--total_environment_frames",
+                   type=lambda s: int(float(s)), default=1_000_000)
     p.add_argument("--num_envs", type=int, default=64)
     p.add_argument("--unroll_length", type=int, default=20)
     p.add_argument("--learning_rate", type=float, default=3e-4)
@@ -149,7 +152,8 @@ def parse_args(argv=None):
     # R2D2.
     p.add_argument("--burn_in", type=int, default=40)
     p.add_argument("--n_steps", type=int, default=5)
-    p.add_argument("--replay_buffer_size", type=int, default=10_000,
+    p.add_argument("--replay_buffer_size",
+                   type=lambda s: int(float(s)), default=10_000,
                    help="unrolls (R2D2) / windows (SAC). Device envs keep "
                         "the buffer in HBM (fused path; default sized for "
                         "~16 GB chips); host envs use the host-RAM backend "
@@ -415,12 +419,10 @@ def main(argv=None):
         )
         return
 
-    if args.run_mode == "learner":
-        assert args.agent == "vtrace", (
-            "remote-actor learner mode currently serves the V-trace agent "
-            "(the reference's canonical remote-actor agent); R2D2/SAC/PPO "
-            "use in-process host engines"
-        )
+    # --run_mode=learner serves every agent to remote actor fleets, like
+    # the reference (vtrace learner.py:350-405, r2d2 learner.py:765-822,
+    # sac learner.py:539-556, policy_gradient learner.py:1114-1121): the
+    # per-agent branches below switch to their remote loop when set.
     env, location = make_env(args)
     logger = MetricsLogger(args.logdir)
     checkpoint = CheckpointManager(
@@ -444,6 +446,14 @@ def main(argv=None):
         )
     elif args.agent == "r2d2":
         updates_per_rollout = max(1, getattr(args, "train_batches_per_step", 1))
+    elif args.agent == "sac":
+        # Mirror host_offpolicy's owed-batches arithmetic: each rollout
+        # cycle inserts one unroll item per training env and owes
+        # replay_ratio * inserted / batch_size optimizer updates, so the
+        # schedule ends at total_environment_frames, not a fraction of it.
+        updates_per_rollout = max(
+            1.0, args.replay_ratio * args.num_envs / args.batch_size
+        )
     else:
         updates_per_rollout = 1
     if args.lr_decay_multiplier != 1.0:
@@ -713,6 +723,43 @@ def main(argv=None):
             batch_mode=batch_mode,
             batches_per_step=args.batches_per_step,
         )
+        if args.run_mode == "learner":
+            # Remote actor fleets for PPO (reference policy_gradient
+            # learner.py:1114-1121 serves inference + the PPO RPC surface):
+            # the learner stores streamed timesteps into unrolls and runs
+            # the full epochs/minibatch pass per collected batch.
+            from seed_rl_tpu.remote import SpecHostEnv, run_remote_learner
+            from seed_rl_tpu.rollout_host import HostRolloutEngine
+
+            obs_spec = env.observation_spec()
+            spec_env = SpecHostEnv(
+                obs_spec, _action_space_of(env), args.num_envs
+            )
+            if hasattr(env, "close"):
+                env.close()
+            engine = HostRolloutEngine(spec_env, agent, args.unroll_length)
+            learner = PPOLearner(engine, agent, loss, config, optimizer)
+            run_remote_learner(
+                agent,
+                learner,
+                obs_spec,
+                args.server_address,
+                args.total_environment_frames,
+                args.unroll_length,
+                args.num_envs,
+                inference_batch_size=args.inference_batch_size,
+                logger=logger,
+                checkpoint=checkpoint,
+                log_every_steps=args.log_every_steps,
+                config_push={
+                    "unroll_length": args.unroll_length,
+                    "num_envs": args.num_envs,
+                },
+                rng=rng,
+            )
+            logger.flush()
+            checkpoint.close()
+            return result_snapshots
         if location == "device":
             from seed_rl_tpu.rollout import RolloutEngine
 
@@ -848,6 +895,61 @@ def main(argv=None):
             num_eval_envs=args.num_eval_envs,
             train_batches_per_step=args.train_batches_per_step,
         )
+        if args.run_mode == "learner":
+            # Remote actor fleets (reference r2d2 learner.py:765-822 +
+            # gcp/train_atari.sh: 32 workers x 20 actors): serve
+            # epsilon-by-env-id inference, store burn-in-overlapped unrolls
+            # of training envs only, train from host-RAM replay under the
+            # replay-ratio contract.
+            import dataclasses as _dc
+
+            from seed_rl_tpu.remote import run_remote_offpolicy_learner
+            from seed_rl_tpu.replay_host import HostReplayBuffer
+
+            obs_spec = env.observation_spec()
+            if hasattr(env, "close"):
+                env.close()
+            insertion_batch = max(
+                1, int(round(args.batch_size / args.replay_ratio))
+            )
+            host_learner = r2d2.R2D2HostLearner(
+                agent,
+                _dc.replace(config, num_eval_envs=0),
+                optimizer,
+                insertion_batch,
+                args.unroll_length,
+            )
+            replay = HostReplayBuffer(
+                args.replay_buffer_size,
+                config.importance_sampling_exponent,
+            )
+            run_remote_offpolicy_learner(
+                agent,
+                host_learner,
+                replay,
+                obs_spec,
+                args.server_address,
+                args.total_environment_frames,
+                args.unroll_length,
+                args.num_envs,
+                replay_ratio=args.replay_ratio,
+                replay_buffer_min_size=args.replay_buffer_min_size,
+                example_action=np.zeros((), np.int32),
+                num_training_envs=num_training,
+                num_overlapping_steps=args.burn_in,
+                inference_batch_size=args.inference_batch_size,
+                logger=logger,
+                checkpoint=checkpoint,
+                log_every_cycles=args.log_every_steps,
+                config_push={
+                    "unroll_length": args.unroll_length,
+                    "num_envs": args.num_envs,
+                },
+                rng=rng,
+            )
+            logger.flush()
+            checkpoint.close()
+            return result_snapshots
         if location == "host":
             # Reference-scale path: host envs (Atari/ALE), host-RAM replay
             # (100k-unroll buffers), split rollout-insert / sample-train
@@ -965,6 +1067,57 @@ def main(argv=None):
             her_window_length=her_window,
             polyak=args.polyak,
         )
+        if args.run_mode == "learner":
+            # Remote actor fleets (reference sac learner.py:539-556):
+            # uniform host-RAM replay, replay-ratio train cadence, policy
+            # served over the socket transport.
+            assert her_window is None, "HER uses the fused device path"
+            from seed_rl_tpu.remote import run_remote_offpolicy_learner
+            from seed_rl_tpu.replay_host import HostReplayBuffer
+
+            obs_spec = env.observation_spec()
+            if hasattr(env, "close"):
+                env.close()
+            insertion_batch = max(
+                1, int(round(args.batch_size / args.replay_ratio))
+            )
+            host_learner = sac.SACHostLearner(
+                agent, config, optimizer, insertion_batch,
+                args.unroll_length,
+            )
+            replay = HostReplayBuffer(
+                args.replay_buffer_size, importance_sampling_exponent=0.0
+            )
+            example_action = np.zeros(
+                (1,) if isinstance(space, gym.spaces.Discrete)
+                else tuple(space.shape),
+                np.float32,
+            )
+            run_remote_offpolicy_learner(
+                agent,
+                host_learner,
+                replay,
+                obs_spec,
+                args.server_address,
+                args.total_environment_frames,
+                args.unroll_length,
+                args.num_envs,
+                replay_ratio=args.replay_ratio,
+                replay_buffer_min_size=args.replay_buffer_min_size,
+                example_action=example_action,
+                inference_batch_size=args.inference_batch_size,
+                logger=logger,
+                checkpoint=checkpoint,
+                log_every_cycles=args.log_every_steps,
+                config_push={
+                    "unroll_length": args.unroll_length,
+                    "num_envs": args.num_envs,
+                },
+                rng=rng,
+            )
+            logger.flush()
+            checkpoint.close()
+            return result_snapshots
         if location == "host":
             # Reference SAC is a MuJoCo/Gym agent
             # (/root/reference/mujoco/sac_main.py): host envs + host-RAM

@@ -42,16 +42,21 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
         # machine-feature stamp embeds compile-time tuning pseudo-features
         # (+prefer-no-gather/scatter); reloading them in another process
         # aborts with a feature-mismatch check. CPU compiles are seconds —
-        # the cache exists for the minutes-long TPU builds. Checked via
-        # config/env rather than jax.default_backend() so this never
-        # initializes the backend (callers may still need to force a
-        # platform).
+        # the cache exists for the minutes-long TPU builds. The gate is on
+        # the PRIMARY platform only: on a TPU host jax_platforms resolves to
+        # e.g. "tpu,cpu" (cpu is the ever-present fallback), which must not
+        # disable the cache. When no platform is configured at all we have
+        # to ask jax.default_backend() — callers invoke this right before
+        # their first compilation, so initializing the backend here is free.
         platforms = os.environ.get("JAX_PLATFORMS", "")
         try:
             platforms = jax.config.jax_platforms or platforms
         except Exception:
             pass
-        if "cpu" in str(platforms):
+        primary = str(platforms).split(",")[0].strip().lower()
+        if not primary:
+            primary = jax.default_backend()
+        if primary == "cpu":
             return None
 
         os.makedirs(cache_dir, exist_ok=True)
