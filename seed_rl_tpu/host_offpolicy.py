@@ -46,6 +46,7 @@ def host_offpolicy_loop(
     log_every_cycles: int = 10,
     seed: int = 0,
     max_train_batches_per_cycle: Optional[int] = None,
+    pipeline: bool = False,
 ):
     """Returns the final device train state.
 
@@ -53,6 +54,16 @@ def host_offpolicy_loop(
     (reference r2d2 0.75, sac 4). Per rollout cycle the driver owes
     ``replay_ratio * inserted / batch_size`` optimization batches and keeps
     a fractional carry so non-integer ratios are honored exactly.
+
+    With ``pipeline=True`` a background thread steps the host envs + policy
+    inference for cycle k+1 while the driver trains on cycle k — the same
+    decoupling the reference gets from its queue/tf.data threads (r2d2
+    learner.py:435-437): behaviour params are one cycle stale (the rollout
+    thread snapshots ``rollout_params`` at cycle start; off-policy losses
+    consume the STORED behaviour outputs, so staleness only shifts the
+    exploration policy, exactly as with the reference's remote actors).
+    The handoff queue holds one unroll, bounding both staleness and wasted
+    env frames at shutdown.
     """
     init_rng, rollout_rng = jax.random.split(rng)
 
@@ -99,13 +110,52 @@ def host_offpolicy_loop(
     window_logs = []
     priority_exp = getattr(learner, "priority_exponent", 0.0)
     batch_size = learner.batch_size
+    rollout_wait_s = 0.0
+    train_s = 0.0
+
+    import queue as _queue
+    import threading
+    import time as _time
+
+    rollout_q = None
+    stop_rollouts = None
+    rollout_thread = None
+    params_holder = {"params": learner.rollout_params(state)}
+    if pipeline:
+        rollout_q = _queue.Queue(maxsize=1)
+        stop_rollouts = threading.Event()
+
+        def _rollout_worker():
+            hs = host_state
+            while not stop_rollouts.is_set():
+                hs, w_unroll = host_engine.rollout(
+                    params_holder["params"], hs
+                )
+                while not stop_rollouts.is_set():
+                    try:
+                        rollout_q.put(w_unroll, timeout=0.5)
+                        break
+                    except _queue.Full:
+                        continue
+
+        rollout_thread = threading.Thread(target=_rollout_worker,
+                                          daemon=True)
+        rollout_thread.start()
 
     while frames < total_environment_frames:
-        host_state, unroll = host_engine.rollout(
-            learner.rollout_params(state), host_state
-        )
+        t0 = _time.perf_counter()
+        if pipeline:
+            unroll = rollout_q.get()
+        else:
+            host_state, unroll = host_engine.rollout(
+                params_holder["params"], host_state
+            )
+        rollout_wait_s += _time.perf_counter() - t0
         if on_unroll is not None:
+            # Folds fresh observations into normalization stats (params
+            # change without an optimizer step — refresh the snapshot).
             state = on_unroll(state, unroll)
+            params_holder["params"] = learner.rollout_params(state)
         items, priorities = make_items(unroll)
         replay.insert(items, priorities)
         new_steps = jax.tree.map(
@@ -116,6 +166,7 @@ def host_offpolicy_loop(
         frames += learner.frames_per_cycle
 
         if replay.num_inserted >= replay_buffer_min_size:
+            t1 = _time.perf_counter()
             owed += replay_ratio * num_training / batch_size
             budget = int(owed)
             if max_train_batches_per_cycle is not None:
@@ -137,6 +188,9 @@ def host_offpolicy_loop(
                         indices, np.asarray(new_priorities)
                     )
                 window_logs.append(logs)
+            if budget:
+                params_holder["params"] = learner.rollout_params(state)
+            train_s += _time.perf_counter() - t1
 
         if logger is not None and cycles % log_every_cycles == 0:
             metrics = {}
@@ -166,10 +220,25 @@ def host_offpolicy_loop(
                 eval_stats = episode_stats.reset_window(eval_stats)
             metrics["replay/num_inserted"] = replay.num_inserted
             metrics["replay/ram_gb"] = round(replay.nbytes() / 2**30, 3)
+            # Driver wall-time split: with pipeline=True, rollout_wait is
+            # time the device sat idle waiting for env data (the pipelining
+            # target metric); train is the device-busy span.
+            metrics["time/rollout_wait_s"] = round(rollout_wait_s, 4)
+            metrics["time/train_s"] = round(train_s, 4)
+            rollout_wait_s = 0.0
+            train_s = 0.0
             logger.log(int(state.step), metrics, frames=frames)
         if checkpoint is not None:
             checkpoint.maybe_save(int(state.step), state)
 
+    if rollout_thread is not None:
+        stop_rollouts.set()
+        # Unblock a producer stuck on a full queue.
+        try:
+            rollout_q.get_nowait()
+        except _queue.Empty:
+            pass
+        rollout_thread.join(timeout=30)
     if checkpoint is not None:
         checkpoint.maybe_save(int(state.step), state, force=True)
     return state

@@ -983,6 +983,7 @@ def main(argv=None):
                 logger=logger,
                 checkpoint=checkpoint,
                 log_every_cycles=args.log_every_steps,
+                pipeline=args.pipeline_host_rollouts,
             )
         else:
             from seed_rl_tpu.rollout import RolloutEngine
@@ -1148,6 +1149,7 @@ def main(argv=None):
                 logger=logger,
                 checkpoint=checkpoint,
                 log_every_cycles=args.log_every_steps,
+                pipeline=args.pipeline_host_rollouts,
             )
             logger.flush()
             checkpoint.close()

@@ -339,3 +339,59 @@ def test_r2d2_host_cli_smoke():
         "--replay_buffer_min_size=8", "--replay_ratio=1.0",
         "--total_environment_frames=360", "--log_every_steps=4",
     ])
+
+
+@pytest.mark.parametrize("replay_ratio,cycles,expected", [
+    (0.75, 10, 15),
+    (1.0, 10, 20),
+])
+def test_replay_ratio_contract_pipelined(replay_ratio, cycles, expected):
+    """The pipelined driver (background rollout thread, one-cycle-stale
+    behaviour params) honors the same replay-ratio contract; the producer
+    may prefetch at most one extra rollout beyond what training consumed."""
+    from seed_rl_tpu.host_offpolicy import host_offpolicy_loop
+
+    num_envs, batch = 8, 4
+    engine = _CountingEngine(num_envs, unroll_length=1)
+    learner = _CountingLearner(num_envs, batch)
+    replay = HostReplayBuffer(size=1024, importance_sampling_exponent=0.0)
+    state = host_offpolicy_loop(
+        learner,
+        engine,
+        replay,
+        jax.random.PRNGKey(0),
+        total_environment_frames=cycles * num_envs,
+        replay_ratio=replay_ratio,
+        replay_buffer_min_size=1,
+        pipeline=True,
+    )
+    assert int(state["step"]) == expected
+    # Queue(maxsize=1) bounds overproduction to the in-flight rollout
+    # plus the one parked in the queue at shutdown.
+    assert cycles <= engine.rollouts <= cycles + 2
+
+
+def test_r2d2_host_end_to_end_pipelined():
+    """Pipelined host R2D2: env stepping overlaps device training without
+    changing the data contract (insert counts, priorities, training)."""
+    from seed_rl_tpu.host_offpolicy import host_offpolicy_loop
+
+    env, engine, learner, config = _tiny_r2d2_host(num_envs=4, num_eval=1)
+    replay = HostReplayBuffer(
+        config.replay_buffer_size, config.importance_sampling_exponent
+    )
+    state = host_offpolicy_loop(
+        learner,
+        engine,
+        replay,
+        jax.random.PRNGKey(0),
+        total_environment_frames=4 * 6 * 8,  # 8 cycles
+        replay_ratio=1.0,
+        replay_buffer_min_size=config.replay_buffer_min_size,
+        pipeline=True,
+    )
+    assert int(state.step) > 0
+    # 3 training-env items per consumed cycle; the producer may have one
+    # uninserted rollout in flight at shutdown (never lost frames below).
+    assert replay.num_inserted >= 3 * 8
+    assert np.isfinite(replay._priorities[: replay.num_inserted]).all()
