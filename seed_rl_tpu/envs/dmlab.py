@@ -197,6 +197,8 @@ class DmLab:
         action_set=DEFAULT_ACTION_SET,
         num_action_repeats: int = 4,
         level_cache=None,
+        is_test: bool = False,
+        extra_config: Optional[Dict[str, str]] = None,
     ):
         try:
             import deepmind_lab
@@ -211,19 +213,29 @@ class DmLab:
         if game in DMLAB_30 or game in HUMAN_SCORES:
             game = "contributed/dmlab30/" + game
         config = {
-            "width": str(width),
-            "height": str(height),
+            "width": width,
+            "height": height,
             "logLevel": "WARN",
         }
+        if is_test:
+            # Held-out evaluation levels + the fixed mixer seed the DmLab
+            # docs prescribe for evaluation (reference env.py:90-94).
+            config["allowHoldOutLevels"] = "true"
+            config["mixerSeed"] = 0x600D5EED
+        if extra_config:
+            config.update(extra_config)
         self._env = deepmind_lab.Lab(
             game,
             ["RGB_INTERLEAVED"],
-            config=config,
+            config={k: str(v) for k, v in config.items()},
             level_cache=level_cache,
         )
         self._action_set = action_set
         self._num_action_repeats = num_action_repeats
-        self._seed = seed
+        # Per-episode reseeding stream (reference env.py:101,120-122):
+        # every reset draws a fresh int31 from a seed-keyed RandomState so
+        # episodes differ while runs stay reproducible per (task) seed.
+        self._random_state = np.random.RandomState(seed=seed)
         self.observation_space = gym.spaces.Box(
             0, 255, (height, width, 3), np.uint8
         )
@@ -233,7 +245,9 @@ class DmLab:
         return self._env.observations()["RGB_INTERLEAVED"]
 
     def reset(self, seed=None, options=None):
-        self._env.reset(seed=seed if seed is not None else self._seed)
+        if seed is not None:
+            self._random_state = np.random.RandomState(seed=seed)
+        self._env.reset(seed=self._random_state.randint(0, 2**31 - 1))
         return self._observation(), {}
 
     def step(self, action):
@@ -243,7 +257,9 @@ class DmLab:
         )
         terminated = not self._env.is_running()
         if terminated:
-            self._env.reset()
+            self._env.reset(
+                seed=self._random_state.randint(0, 2**31 - 1)
+            )
         return self._observation(), reward, terminated, False, {}
 
     def close(self):

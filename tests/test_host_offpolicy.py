@@ -395,3 +395,34 @@ def test_r2d2_host_end_to_end_pipelined():
     # uninserted rollout in flight at shutdown (never lost frames below).
     assert replay.num_inserted >= 3 * 8
     assert np.isfinite(replay._priorities[: replay.num_inserted]).all()
+
+
+def test_r2d2_replay_soak_harness():
+    """The reference-scale soak harness runs end-to-end at toy scale every
+    CI run; the full 100k-unroll (~86 GiB) soak is opt-in:
+
+        SEED_RL_TPU_SOAK=1 pytest tests/test_host_offpolicy.py -k soak
+    or  python scripts/soak_r2d2_replay.py
+
+    (reference buffer contract: r2d2 learner.py:387-468 +
+    gcp/train_atari.sh:28-33 — >104 GB learner RAM for the same config).
+    """
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    import soak_r2d2_replay
+
+    full = os.environ.get("SEED_RL_TPU_SOAK") == "1"
+    args = (
+        ["--seconds=60"]
+        if full
+        else ["--buffer_size=500", "--seconds=5", "--lstm_size=64"]
+    )
+    result = soak_r2d2_replay.main(args)
+    assert result["sustained_env_frames_per_sec"] > 0
+    assert result["train_batches_per_sec"] > 0
+    assert result["rss_gib"] < 124  # fits this host (125 GB)
+    if full:
+        assert result["buffer_gib"] > 80  # the reference scale, measured
