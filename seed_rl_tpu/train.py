@@ -199,7 +199,49 @@ def parse_args(argv=None):
     p.add_argument("--normalize_observations", action="store_true",
                    help="streaming mean/std observation normalization for "
                         "vtrace/sac (reference NormalizeObservationsWrapper)")
+    p.add_argument("--agent_module", default=None,
+                   help="path to a Python file (or dotted module) whose "
+                        "configure(args, env, components) freely recomposes "
+                        "the agent stack — net x distribution x loss x "
+                        "optimizer x config — before the learner is built. "
+                        "The gin-composition equivalent (reference "
+                        "mujoco/ppo_main.py:37-107 + gin/ppo.gin) as plain "
+                        "Python: mutate or replace entries in `components` "
+                        "and return it. See "
+                        "scripts/examples/custom_ppo_composition.py")
     return p.parse_args(argv)
+
+
+def _apply_agent_module(args, env, components: dict) -> dict:
+    """Free composition hook (the reference's gin seam, TPU-native style).
+
+    Loads ``--agent_module`` (file path or dotted module name) and calls its
+    ``configure(args, env, components)``. ``components`` holds the
+    agent-branch pieces about to be assembled (keys vary by agent:
+    net/dist/agent/loss/config/optimizer for PPO; net/agent/config/
+    optimizer for vtrace/r2d2/sac); whatever the hook returns replaces
+    them. Returning None keeps in-place mutations.
+    """
+    if not args.agent_module:
+        return components
+    import importlib
+    import importlib.util
+
+    if os.path.exists(args.agent_module):
+        spec = importlib.util.spec_from_file_location(
+            "seed_rl_tpu_agent_module", args.agent_module
+        )
+        module = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(module)
+    else:
+        module = importlib.import_module(args.agent_module)
+    configure = getattr(module, "configure", None)
+    assert configure is not None, (
+        f"--agent_module={args.agent_module} must define "
+        "configure(args, env, components)"
+    )
+    result = configure(args, env, components)
+    return components if result is None else result
 
 
 def make_env(args):
@@ -509,6 +551,14 @@ def main(argv=None):
             discounting=args.discounting,
             entropy_cost=args.entropy_cost,
         )
+        components = _apply_agent_module(args, env, {
+            "net": net, "dist": dist, "agent": agent, "config": config,
+            "optimizer": optimizer,
+        })
+        net, dist, agent, config, optimizer = (
+            components["net"], components["dist"], components["agent"],
+            components["config"], components["optimizer"],
+        )
         if args.run_mode == "learner":
             # Serve inference to remote actor processes over the unix
             # socket; the env above is used for spec inference only
@@ -723,6 +773,15 @@ def main(argv=None):
             batch_mode=batch_mode,
             batches_per_step=args.batches_per_step,
         )
+        components = _apply_agent_module(args, env, {
+            "net": net, "dist": dist, "agent": agent, "loss": loss,
+            "config": config, "optimizer": optimizer,
+        })
+        net, dist, agent, loss, config, optimizer = (
+            components["net"], components["dist"], components["agent"],
+            components["loss"], components["config"],
+            components["optimizer"],
+        )
         if args.run_mode == "learner":
             # Remote actor fleets for PPO (reference policy_gradient
             # learner.py:1114-1121 serves inference + the PPO RPC surface):
@@ -894,6 +953,14 @@ def main(argv=None):
             update_target_every_n_step=args.update_target_every_n_step,
             num_eval_envs=args.num_eval_envs,
             train_batches_per_step=args.train_batches_per_step,
+        )
+        components = _apply_agent_module(args, env, {
+            "net": net, "agent": agent, "config": config,
+            "optimizer": optimizer,
+        })
+        net, agent, config, optimizer = (
+            components["net"], components["agent"], components["config"],
+            components["optimizer"],
         )
         if args.run_mode == "learner":
             # Remote actor fleets (reference r2d2 learner.py:765-822 +
@@ -1067,6 +1134,14 @@ def main(argv=None):
             unroll_length=args.unroll_length,
             her_window_length=her_window,
             polyak=args.polyak,
+        )
+        components = _apply_agent_module(args, env, {
+            "net": net, "dist": dist, "agent": agent, "config": config,
+            "optimizer": optimizer,
+        })
+        net, dist, agent, config, optimizer = (
+            components["net"], components["dist"], components["agent"],
+            components["config"], components["optimizer"],
         )
         if args.run_mode == "learner":
             # Remote actor fleets (reference sac learner.py:539-556):
