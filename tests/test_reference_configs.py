@@ -19,7 +19,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CONFIGS = os.path.join(REPO, "scripts", "reference_configs")
 
 
-def _run_script(name, env_name, overrides, timeout=420):
+def _run_script(name, env_name, overrides, timeout=420, extra_env=None):
     # Fresh logdir: a stale one would restore-on-start from a previous
     # test run's checkpoint, whose state structure may no longer match.
     logdir = f"/tmp/seed_rl_tpu_cfg_smoke_{name}"
@@ -31,6 +31,7 @@ def _run_script(name, env_name, overrides, timeout=420):
         "JAX_PLATFORMS": "cpu",
         "PYTHONPATH": REPO,
         "LOGDIR": logdir,
+        **(extra_env or {}),
     }
     proc = subprocess.run(
         ["bash", os.path.join(CONFIGS, name), env_name] + overrides,
@@ -106,4 +107,31 @@ def test_dmlab_vtrace_reference_config_launches():
             "--steps_per_call=2",
             "--total_environment_frames=384",
         ],
+    )
+
+
+def test_atari_r2d2_fleet_config_launches():
+    """The reference R2D2 cloud DATA-PLANE shape: run_fleet.py spawns a
+    remote learner + actor processes; synthetic host Atari stands in for
+    ALE. Verifies the fleet trains to the frame budget and exits 0."""
+    _run_script(
+        "train_atari_r2d2_fleet.sh",
+        "Pong",
+        [
+            "--env=synthetic_atari_host",
+            "--num_eval_envs=1",
+            "--unroll_length=5",
+            "--burn_in=2",
+            "--n_steps=2",
+            "--batch_size=2",
+            "--replay_ratio=1.0",
+            "--replay_buffer_size=32",
+            "--replay_buffer_min_size=2",
+            "--total_environment_frames=40",
+        ],
+        extra_env={
+            "WORKERS": "1",
+            "ACTORS_PER_WORKER": "2",
+            "ENVS_PER_ACTOR": "2",
+        },
     )
