@@ -374,3 +374,93 @@ def test_remote_r2d2_fleet_actor_processes():
                 pass
     for p in procs:
         p.wait(timeout=30)
+
+
+def test_remote_ppo_learner_with_actor_threads():
+    """PPO served to external actors (reference policy_gradient
+    learner.py:1114-1121): the learner runs the full epochs/minibatch pass
+    on each streamed batch of unrolls and keeps exact per-env episode
+    stats."""
+    import optax
+
+    from seed_rl_tpu import distributions as pd
+    from seed_rl_tpu.agent import PolicyAgent
+    from seed_rl_tpu.agents.ppo import policy_losses
+    from seed_rl_tpu.agents.ppo.generalized_onpolicy_loss import (
+        GeneralizedOnPolicyLoss,
+    )
+    from seed_rl_tpu.agents.ppo.learner import PPOConfig, PPOLearner
+    from seed_rl_tpu.agents.ppo.policy_regularizers import (
+        KLPolicyRegularizer,
+    )
+    from seed_rl_tpu.models import MLPPolicyNetwork
+    from seed_rl_tpu.ops.advantages import GAE
+    from seed_rl_tpu.ops.popart import PopArt
+    from seed_rl_tpu.ops.running_statistics import AverageMeanStd
+    from seed_rl_tpu.remote import (
+        SpecHostEnv,
+        run_actor,
+        run_remote_learner,
+    )
+    from seed_rl_tpu.rollout_host import HostRolloutEngine
+
+    num_envs, unroll_length = 4, 4
+    path = _sock_path()
+
+    import gymnasium as gym
+
+    dist = pd.CategoricalDistribution(4)
+    net = MLPPolicyNetwork(
+        parametric_distribution_param_size=dist.param_size, mlp_sizes=(16,)
+    )
+    agent = PolicyAgent(net, dist)
+    loss = GeneralizedOnPolicyLoss(
+        agent=agent,
+        reward_normalizer=PopArt(AverageMeanStd(), compensate=False),
+        parametric_action_distribution=dist,
+        advantage_estimator=GAE(lambda_=0.95),
+        policy_loss=policy_losses.ppo(epsilon=0.2),
+        discount_factor=0.99,
+        regularizer=KLPolicyRegularizer(entropy=0.01),
+        baseline_cost=1.0,
+    )
+    obs_spec = jax.ShapeDtypeStruct((3,), np.float32)
+    spec_env = SpecHostEnv(obs_spec, gym.spaces.Discrete(4), num_envs)
+    engine = HostRolloutEngine(spec_env, agent, unroll_length)
+    learner = PPOLearner(
+        engine, agent, loss,
+        PPOConfig(epochs_per_step=2, batch_mode="shuffle",
+                  batches_per_step=2),
+        optax.adam(1e-3),
+    )
+
+    actors = [
+        threading.Thread(
+            target=run_actor,
+            args=(lambda off=off: _RewardScriptedEnvGroup(2, off), path),
+            kwargs=dict(num_steps=200, env_id_offset=off),
+            daemon=True,
+        )
+        for off in (0, 2)
+    ]
+    for t in actors:
+        t.start()
+
+    sink = {}
+    state = run_remote_learner(
+        agent,
+        learner,
+        obs_spec,
+        path,
+        total_environment_frames=num_envs * unroll_length * 4,
+        unroll_length=unroll_length,
+        num_envs=num_envs,
+        stats_sink=sink,
+    )
+    for t in actors:
+        t.join(timeout=30)
+
+    assert int(state.step) == 4
+    ep = sink["episodes"]
+    for e, returns in ep.completed_returns.items():
+        np.testing.assert_allclose(list(returns), 5.0 * (e + 1))
