@@ -450,7 +450,11 @@ def run_remote_offpolicy_learner(
                 excluded_sink=eval_sink,
             )
             if on_unroll is not None:
+                # Folds fresh observations into normalization stats —
+                # params change without an optimizer step, so refresh the
+                # inference snapshot.
                 state = on_unroll(state, unroll)
+                params_holder["params"] = learner.rollout_params(state)
             items, priorities = make_items(unroll)
             replay.insert(items, priorities)
             new_steps = jax.tree.map(

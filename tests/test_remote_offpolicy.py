@@ -234,7 +234,9 @@ def test_remote_sac_learner_with_actor_threads():
         n_critics=2,
         mlp_sizes=(16,),
     )
-    agent = sac.SACAgent(net, dist)
+    # normalize_observations exercises the on_unroll stats fold and the
+    # inference-params refresh that must follow it in the remote loop.
+    agent = sac.SACAgent(net, dist, normalize_observations=True)
     config = sac.SACConfig(
         batch_size=2,
         replay_buffer_size=64,
