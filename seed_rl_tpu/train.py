@@ -83,7 +83,7 @@ def parse_args(argv=None):
     p.add_argument("--env", required=True,
                    choices=["toy", "toy_memory", "discrete_match",
                             "bit_flipping", "synthetic_atari",
-                            "synthetic_atari_host", "mujoco",
+                            "synthetic_atari_host", "catch", "mujoco",
                             "atari", "dmlab", "football"],
                    help="synthetic_atari_host = Atari-shaped host gym envs "
                         "(exercises the full host pipeline: thread-pooled "
@@ -266,6 +266,15 @@ def make_env(args):
 
         return (
             envs.BatchedEnv(SyntheticAtariEnv(), args.num_envs),
+            "device",
+        )
+    if args.env == "catch":
+        # Real visual control fully on device (no ALE needed): bsuite-style
+        # Catch rendered to Atari-shaped 84x84 frames.
+        from seed_rl_tpu.envs.catch import CatchEnv
+
+        return (
+            envs.BatchedEnv(CatchEnv(), args.num_envs),
             "device",
         )
     if args.env == "synthetic_atari_host":
@@ -522,7 +531,8 @@ def main(argv=None):
         dist = pd.get_parametric_distribution_for_action_space(
             _action_space_of(env)
         )
-        if args.env in ("synthetic_atari", "synthetic_atari_host", "atari"):
+        if args.env in ("synthetic_atari", "synthetic_atari_host", "atari",
+                        "catch"):
             net = AtariPolicyNet(
                 parametric_distribution_param_size=dist.param_size,
                 stack_size=4,
@@ -679,7 +689,7 @@ def main(argv=None):
             # discrete actions + ImpalaDeep / conv nets via gin).
             dist = pd.get_parametric_distribution_for_action_space(space)
             if args.env in (
-                "synthetic_atari", "synthetic_atari_host", "atari"
+                "synthetic_atari", "synthetic_atari_host", "atari", "catch"
             ):
                 from seed_rl_tpu.models.atari import AtariPolicyNet
 
@@ -931,7 +941,8 @@ def main(argv=None):
 
         space = _action_space_of(env)
         num_actions = int(space.n)
-        if args.env in ("synthetic_atari", "synthetic_atari_host", "atari"):
+        if args.env in ("synthetic_atari", "synthetic_atari_host", "atari",
+                        "catch"):
             net = DuelingLSTMDQNNet(num_actions=num_actions)
         else:
             net = VectorDuelingDQNNet(num_actions=num_actions)

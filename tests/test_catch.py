@@ -1,0 +1,110 @@
+"""CatchEnv: on-device visual control with real credit assignment.
+
+Mechanics tests pin the game rules; the learning test demonstrates a
+conv policy learning FROM PIXELS fully on device — the visual-RL
+end-to-end evidence that synthetic frame envs cannot provide without ALE.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from seed_rl_tpu.envs import BatchedEnv
+from seed_rl_tpu.envs.catch import CatchEnv
+
+
+def test_catch_mechanics():
+    env = CatchEnv(rows=5, cols=5, cell_pixels=2, balls_per_episode=2)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (10, 10, 1)
+    # Ball starts at the top, paddle mid-bottom.
+    assert int(state.ball_row) == 0
+    assert int(state.paddle_col) == 2
+
+    # Track the ball column and drive the paddle onto it: reward +1.
+    step = jax.jit(env.step)
+    for _ in range(4):  # ball reaches the bottom row after rows-1 steps
+        target = int(state.ball_col)
+        cur = int(state.paddle_col)
+        action = jnp.asarray(np.sign(target - cur) + 1, jnp.int32)
+        result = step(state, action)
+        state = result.state
+    assert float(result.reward) == 1.0
+    assert not bool(result.terminated)  # 1 of 2 balls resolved
+
+    # Miss the next ball deliberately: reward -1 and episode end.
+    for _ in range(4):
+        target = int(state.ball_col)
+        cur = int(state.paddle_col)
+        away = 0 if target >= cur else 2
+        # Move away unless pinned at a wall next to the target.
+        action = jnp.asarray(away, jnp.int32)
+        result = step(state, action)
+        state = result.state
+    assert float(result.reward) == -1.0
+    assert bool(result.terminated)
+
+
+def test_catch_frame_renders_ball_and_paddle():
+    env = CatchEnv(rows=5, cols=5, cell_pixels=3, balls_per_episode=1)
+    state, obs = env.reset(jax.random.PRNGKey(1))
+    obs = np.asarray(obs)[..., 0]
+    # Exactly two cells lit (ball + paddle), each a 3x3 block of 255.
+    assert (obs == 255).sum() == 2 * 9
+    ball_c, paddle_c = int(state.ball_col), int(state.paddle_col)
+    assert (obs[0:3, ball_c * 3:ball_c * 3 + 3] == 255).all()
+    assert (obs[12:15, paddle_c * 3:paddle_c * 3 + 3] == 255).all()
+
+
+def test_catch_vtrace_learns_from_pixels():
+    """A conv+LSTM policy improves substantially on Catch from pixels —
+    real visual credit assignment end-to-end on the device path."""
+    from seed_rl_tpu import distributions as pd
+    from seed_rl_tpu.agent import PolicyAgent
+    from seed_rl_tpu.agents import vtrace as vtrace_agent
+    from seed_rl_tpu.models.atari import AtariPolicyNet
+    from seed_rl_tpu.rollout import RolloutEngine
+
+    num_envs = 32
+    env = BatchedEnv(
+        CatchEnv(rows=6, cols=6, cell_pixels=6, balls_per_episode=3),
+        num_envs,
+    )
+    dist = pd.CategoricalDistribution(3)
+    net = AtariPolicyNet(
+        parametric_distribution_param_size=dist.param_size,
+        frame_shape=(36, 36),
+        stack_size=2,
+        lstm_size=32,
+    )
+    agent = PolicyAgent(net, dist)
+    engine = RolloutEngine(env, agent, unroll_length=10)
+    learner = vtrace_agent.VTraceLearner(
+        engine,
+        agent,
+        vtrace_agent.VTraceConfig(entropy_cost=0.01),
+        optax.chain(optax.clip_by_global_norm(40.0), optax.adam(1e-3)),
+    )
+    state = jax.jit(learner.init)(jax.random.PRNGKey(0))
+    run = jax.jit(lambda s: learner.train_many(s, 10))
+
+    def window_return(s):
+        stats = s.stats
+        n = float(stats.num_episodes)
+        return float(stats.sum_return) / max(n, 1.0), n
+
+    state, _ = run(state)
+    early, n_early = window_return(state)
+    assert n_early > 0
+    import seed_rl_tpu.utils.episode_stats as episode_stats
+
+    state = state._replace(stats=episode_stats.reset_window(state.stats))
+    for _ in range(25):
+        state, _ = run(state)
+    late, n_late = window_return(state)
+    assert n_late > 0
+    # Random is ~ -3 + balls/cols * 6 ~= -2; optimal is +3. Require a
+    # decisive improvement over the early window.
+    assert late > early + 1.0, (early, late)
+    assert late > 0.5, (early, late)
