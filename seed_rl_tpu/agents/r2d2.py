@@ -23,6 +23,9 @@ Capability parity with /root/reference/agents/r2d2/learner.py:
 One fused jitted step does rollout → epsilon-greedy → insert → sample →
 burn-in loss → update → priority write-back. A warmup phase (host loop)
 fills the buffer to ``replay_buffer_min_size`` before training starts.
+Abandoned/truncated episodes fold into ``done`` (treated as termination,
+the reference's practical gym behavior; the reference asserts instead —
+see the note in agents/vtrace.py).
 """
 
 import dataclasses

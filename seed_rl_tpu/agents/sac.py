@@ -18,7 +18,10 @@ Loss parity with /root/reference/agents/sac/learner.py:110-240:
 
 Replay is uniform (importance exponent 0), as in the reference (:512-523);
 the replay-ratio contract maps to ``train_batches_per_step * batch_size /
-insertions_per_step`` in the fused design.
+insertions_per_step`` in the fused design. Abandoned/truncated episodes
+fold into ``done`` (treated as termination, the reference's practical gym
+behavior; the reference asserts instead — see the note in
+agents/vtrace.py).
 """
 
 import dataclasses

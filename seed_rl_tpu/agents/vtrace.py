@@ -10,6 +10,15 @@ grads → optax update, all inside one ``jit``.
 
 The data-parallel story is §7 of SURVEY.md: vmap over envs inside a device,
 ``shard_map``/pjit over a mesh across devices (see seed_rl_tpu.parallel).
+
+Abandoned episodes (time-limit truncation): like the reference's practical
+behavior on gym envs, truncation folds into ``done`` and is treated as
+termination (zero bootstrap). The reference instead ASSERTS abandoned
+never reaches V-trace (learner.py:368-370) because only envs that report
+``info['abandoned']`` engage its special protocol and only PPO consumes
+it; here every adapter reports truncation, so the permissive fold (with
+identical math on such steps) replaces the crash. Truncation-aware
+bootstrapping lives in the PPO loss family (ops/advantages.py).
 """
 
 import dataclasses
