@@ -193,3 +193,47 @@ def test_popart_golden(compensate):
     np.testing.assert_allclose(
         np.asarray(ref_pred), np.asarray(our_pred), rtol=1e-4, atol=1e-4
     )
+
+
+def test_two_level_average_mean_std_golden():
+    """The precision-hierarchy tracker matches the reference across buffer
+    flush boundaries (buffer_size=3 forces flushes mid-sequence)."""
+    import tensorflow as tf
+
+    ref_rs, _ = _load_reference()
+    from seed_rl_tpu.ops import running_statistics as ours
+
+    ref = ref_rs.TwoLevelAverageMeanStd(buffer_size=3)
+    ref.init(2)
+    our = ours.TwoLevelAverageMeanStd(buffer_size=3)
+    state = our.init_state(2)
+    for data in _batches(2, n=8, shape=(5, 2)):
+        ref.update(tf.convert_to_tensor(data))
+        state = our.update(state, data)
+        ref_mean, ref_std = ref.get_mean_std()
+        our_mean, our_std = our.mean_std(state)
+        np.testing.assert_allclose(
+            np.asarray(ref_mean), np.asarray(our_mean), rtol=1e-4,
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref_std), np.asarray(our_std), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_fixed_mean_std_golden():
+    import tensorflow as tf
+
+    ref_rs, _ = _load_reference()
+    from seed_rl_tpu.ops import running_statistics as ours
+
+    ref = ref_rs.FixedMeanStd(mean=2.5, std=0.5)
+    ref.init(3)
+    our = ours.FixedMeanStd(mean=2.5, std=0.5)
+    state = our.init_state(3)
+    ref.update(tf.convert_to_tensor(_batches(3, n=1)[0]))
+    state = our.update(state, _batches(3, n=1)[0])
+    ref_mean, ref_std = ref.get_mean_std()
+    our_mean, our_std = our.mean_std(state)
+    np.testing.assert_allclose(np.asarray(ref_mean), np.asarray(our_mean))
+    np.testing.assert_allclose(np.asarray(ref_std), np.asarray(our_std))
