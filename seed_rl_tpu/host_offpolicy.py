@@ -120,6 +120,7 @@ def host_offpolicy_loop(
     rollout_q = None
     stop_rollouts = None
     rollout_thread = None
+    worker_error = []
     params_holder = {"params": learner.rollout_params(state)}
     if pipeline:
         rollout_q = _queue.Queue(maxsize=1)
@@ -127,25 +128,44 @@ def host_offpolicy_loop(
 
         def _rollout_worker():
             hs = host_state
-            while not stop_rollouts.is_set():
-                hs, w_unroll = host_engine.rollout(
-                    params_holder["params"], hs
-                )
+            try:
                 while not stop_rollouts.is_set():
-                    try:
-                        rollout_q.put(w_unroll, timeout=0.5)
-                        break
-                    except _queue.Full:
-                        continue
+                    hs, w_unroll = host_engine.rollout(
+                        params_holder["params"], hs
+                    )
+                    while not stop_rollouts.is_set():
+                        try:
+                            rollout_q.put(w_unroll, timeout=0.5)
+                            break
+                        except _queue.Full:
+                            continue
+            except BaseException as e:  # surface env/infra errors to driver
+                worker_error.append(e)
 
         rollout_thread = threading.Thread(target=_rollout_worker,
                                           daemon=True)
         rollout_thread.start()
 
+    def _next_pipelined_unroll():
+        # Bounded waits so a dead worker raises its error instead of the
+        # driver hanging forever on an empty queue.
+        while True:
+            try:
+                return rollout_q.get(timeout=5.0)
+            except _queue.Empty:
+                if worker_error:
+                    raise RuntimeError(
+                        "pipelined rollout worker died"
+                    ) from worker_error[0]
+                if not rollout_thread.is_alive():
+                    raise RuntimeError(
+                        "pipelined rollout worker exited unexpectedly"
+                    )
+
     while frames < total_environment_frames:
         t0 = _time.perf_counter()
         if pipeline:
-            unroll = rollout_q.get()
+            unroll = _next_pipelined_unroll()
         else:
             host_state, unroll = host_engine.rollout(
                 params_holder["params"], host_state

@@ -11,10 +11,12 @@ trains on dequeued unroll batches (agents/vtrace/learner.py:314-483).
 The learner's env is used for SPEC INFERENCE ONLY (reference learner
 docstring, vtrace/learner.py:174-178) — no learner-side env stepping.
 
-Episode metrics in remote mode are EXACT: ``PerEnvEpisodeStats`` keys
-accumulators by global env id (the reference's env_infos Aggregator keyed
-by env_id, vtrace learner.py:373-378), so unroll batches of varying env
-composition never mix accumulators.
+Episode metrics in remote mode are EXACT-OR-OMITTED: ``PerEnvEpisodeStats``
+keys accumulators by global env id (the reference's env_infos Aggregator
+keyed by env_id, vtrace learner.py:373-378), so unroll batches of varying
+env composition never mix accumulators; when an actor restart or a
+backpressure drop loses part of an episode, that episode is invalidated
+and omitted rather than reported with a corrupt partial return.
 """
 
 import collections
@@ -44,32 +46,47 @@ class PerEnvEpisodeStats:
             lambda: collections.deque(maxlen=keep_last)
         )
 
-    def update_unroll(self, env_id: int, env_outputs) -> None:
-        """Consume one env's NEW timesteps ([T] leaves, overlap excluded)."""
-        reward = np.asarray(env_outputs.reward, np.float64)
-        done = np.asarray(env_outputs.done, bool)
-        episode_step = np.asarray(env_outputs.episode_step)
+    def invalidate(self, env_id: int) -> None:
+        """Mark an env's running episode unknown (actor restart, dropped
+        unroll): its in-flight episode is OMITTED from the stats rather
+        than reported with a corrupt partial return; accounting resumes
+        exactly at the next episode boundary."""
+        self.return_acc[env_id] = np.nan
+
+    def _consume(self, env_id, reward, done, episode_step) -> None:
         acc = self.return_acc[env_id]
         for t in range(reward.shape[0]):
             acc += reward[t]
             if done[t]:
-                self.num_episodes += 1
-                self.sum_return += acc
-                self.sum_length += float(episode_step[t])
-                self.completed_returns[env_id].append(acc)
-                acc = 0.0
+                if not np.isnan(acc):
+                    self.num_episodes += 1
+                    self.sum_return += acc
+                    self.sum_length += float(episode_step[t])
+                    self.completed_returns[env_id].append(acc)
+                acc = 0.0  # boundary: accounting is exact again
         self.return_acc[env_id] = acc
+
+    def update_unroll(self, env_id: int, env_outputs) -> None:
+        """Consume one env's NEW timesteps ([T] leaves, overlap excluded)."""
+        self._consume(
+            env_id,
+            np.asarray(env_outputs.reward, np.float64),
+            np.asarray(env_outputs.done, bool),
+            np.asarray(env_outputs.episode_step),
+        )
 
     def update_batch(self, env_ids, env_outputs) -> None:
         """Consume a time-major [T, B] block; column b belongs to
         ``env_ids[b]``. Batch order preserves each env's arrival order, so
-        multiple unrolls of one env in a batch stay sequential."""
-        import jax
-
+        multiple unrolls of one env in a batch stay sequential. Only the
+        scalar fields are pulled to host — observations are never read
+        (one bulk D2H instead of per-column full-tree transfers)."""
+        reward = np.asarray(env_outputs.reward, np.float64)
+        done = np.asarray(env_outputs.done, bool)
+        episode_step = np.asarray(env_outputs.episode_step)
         for b, env_id in enumerate(np.asarray(env_ids)):
-            self.update_unroll(
-                int(env_id),
-                jax.tree.map(lambda x: np.asarray(x)[:, b], env_outputs),
+            self._consume(
+                int(env_id), reward[:, b], done[:, b], episode_step[:, b]
             )
 
     def window_metrics(self, prefix: str = "episodes"):
@@ -259,8 +276,13 @@ def run_remote_learner(
     frames = 0
     step = 0
     # Exact per-env episode accounting keyed by env id (the reference's
-    # env_infos Aggregator, vtrace learner.py:373-378).
+    # env_infos Aggregator, vtrace learner.py:373-378). Actor restarts and
+    # backpressure drops invalidate the affected envs' in-flight episodes
+    # (omitted, never reported corrupt).
     ep_stats = PerEnvEpisodeStats(num_envs)
+    bridge.on_unroll_lost = lambda ids: [
+        ep_stats.invalidate(int(e)) for e in ids
+    ]
     if stats_sink is not None:
         stats_sink["episodes"] = ep_stats
     try:
@@ -417,6 +439,16 @@ def run_remote_offpolicy_learner(
     new_slice = num_overlapping_steps + 1
     ep_stats = PerEnvEpisodeStats(num_envs)
     eval_stats = PerEnvEpisodeStats(num_envs)
+
+    def _on_unroll_lost(ids):
+        # Restart/drop invalidation: omit the affected in-flight episodes
+        # instead of reporting corrupt partial returns.
+        for e in np.asarray(ids):
+            (ep_stats if int(e) < n_train else eval_stats).invalidate(
+                int(e)
+            )
+
+    bridge.on_unroll_lost = _on_unroll_lost
     if stats_sink is not None:
         stats_sink["episodes"] = ep_stats
         stats_sink["eval_episodes"] = eval_stats

@@ -71,6 +71,7 @@ class InferenceBridge:
         evaluator=None,
         virtual_batch_size: int = 1,
         training_iterations_fn: Optional[Callable[[], int]] = None,
+        on_unroll_lost: Optional[Callable] = None,
     ):
         import jax
         import jax.numpy as jnp
@@ -112,6 +113,10 @@ class InferenceBridge:
         # Completed unrolls enqueued so far (either path); mirrors
         # host.completed_unrolls (reference learner.py:909-913).
         self.completed_unrolls = 0
+        # Called with env ids whose in-flight episode data was lost (actor
+        # restart resets, backpressure drops) so downstream episode
+        # accounting can invalidate those envs until the next boundary.
+        self.on_unroll_lost = on_unroll_lost
 
         # Dense per-env state (numpy mirrors of the reference Aggregators).
         # np.array (not asarray): device arrays view as read-only numpy.
@@ -231,6 +236,8 @@ class InferenceBridge:
                 self.run_ids[env_id] = run_ids[i]
         if restarted:
             restarted = np.asarray(restarted)
+            if self.on_unroll_lost is not None:
+                self.on_unroll_lost(restarted)
             self.store.reset(restarted)
             for leaf, init in zip(
                 jax.tree.leaves(self._agent_states),
@@ -331,7 +338,10 @@ class InferenceBridge:
                 )
                 self.completed_unrolls += len(completed_ids)
             except queue.Full:
-                pass  # drop under backpressure (off-policy tolerates this)
+                # Drop under backpressure (off-policy tolerates this), but
+                # tell episode accounting those rewards are gone.
+                if self.on_unroll_lost is not None:
+                    self.on_unroll_lost(completed_ids)
             # The next unroll of these envs starts at the carried boundary;
             # record the state entering it.
             for leaf, cur in zip(

@@ -52,7 +52,8 @@ def parse_address(address: str):
             host, port = addr.rsplit(":", 1)
         if not host or host == "::":
             host = "127.0.0.1"
-        return socket.AF_INET, (host, int(port))
+        family = socket.AF_INET6 if ":" in host else socket.AF_INET
+        return family, (host, int(port))
     return socket.AF_UNIX, addr
 
 
@@ -67,10 +68,11 @@ class SocketClient:
         connect_timeout: float = 10.0,
     ):
         family, target = parse_address(path)
+        is_tcp = family in (socket.AF_INET, socket.AF_INET6)
         deadline = time.time() + connect_timeout
         while True:
             try:
-                if family == socket.AF_INET:
+                if is_tcp:
                     # create_connection resolves hostnames and picks the
                     # right family (v4/v6) via getaddrinfo.
                     self._sock = socket.create_connection(target)
@@ -78,6 +80,10 @@ class SocketClient:
                     self._sock = socket.socket(family, socket.SOCK_STREAM)
                     self._sock.connect(target)
                 break
+            except socket.gaierror:
+                # Unresolvable host = permanent misconfiguration: fail fast
+                # instead of retrying for the whole connect window.
+                raise
             except (ConnectionRefusedError, FileNotFoundError, OSError):
                 try:
                     self._sock.close()
@@ -86,7 +92,7 @@ class SocketClient:
                 if time.time() > deadline:
                     raise
                 time.sleep(0.05)
-        if family == socket.AF_INET:
+        if is_tcp:
             # One small request/response per env transition: disable Nagle
             # or every inference call eats an RTT of batching delay.
             self._sock.setsockopt(

@@ -55,6 +55,17 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
             pass
         primary = str(platforms).split(",")[0].strip().lower()
         if not primary:
+            # No platform configured: only consult the backend if some
+            # other code already initialized it. Never initialize here —
+            # CPU-only helper processes (actors) colocated with a learner
+            # must not grab the accelerator just to decide cache gating.
+            try:
+                import jax._src.xla_bridge as xb
+
+                if not xb.backends_are_initialized():
+                    return None
+            except Exception:
+                return None
             primary = jax.default_backend()
         if primary == "cpu":
             return None
