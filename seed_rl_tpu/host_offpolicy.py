@@ -47,6 +47,7 @@ def host_offpolicy_loop(
     seed: int = 0,
     max_train_batches_per_cycle: Optional[int] = None,
     pipeline: bool = False,
+    replay_dir: Optional[str] = None,
 ):
     """Returns the final device train state.
 
@@ -76,6 +77,13 @@ def host_offpolicy_loop(
     state = jax.jit(learner.init)(init_rng, prev_action, env_output)
     if checkpoint is not None:
         state = checkpoint.restore_or(state)
+    if replay_dir is not None and replay.restore(replay_dir):
+        print(
+            f"Restored replay buffer from {replay_dir}: "
+            f"{replay.num_inserted} items, "
+            f"{replay.nbytes() / 2**30:.2f} GiB",
+            flush=True,
+        )
 
     host_state = host_engine.init(
         learner.rollout_params(state), rollout_rng, seed=seed
@@ -249,7 +257,14 @@ def host_offpolicy_loop(
             train_s = 0.0
             logger.log(int(state.step), metrics, frames=frames)
         if checkpoint is not None:
-            checkpoint.maybe_save(int(state.step), state)
+            # Replay snapshots ride the checkpoint cadence so a restart
+            # resumes with BOTH the params and the experience that produced
+            # them (the reference loses its RAM buffer on restart,
+            # gcp/train_atari.sh:28-33 — measured round 3 to knock a
+            # breakout curve back to its plateau).
+            if checkpoint.maybe_save(int(state.step), state):
+                if replay_dir is not None:
+                    replay.save(replay_dir)
 
     if rollout_thread is not None:
         stop_rollouts.set()
@@ -261,4 +276,6 @@ def host_offpolicy_loop(
         rollout_thread.join(timeout=30)
     if checkpoint is not None:
         checkpoint.maybe_save(int(state.step), state, force=True)
+        if replay_dir is not None:
+            replay.save(replay_dir)
     return state

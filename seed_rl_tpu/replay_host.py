@@ -27,6 +27,8 @@ mutating calls must come from one driver thread; the prefetch thread only
 reads under the internal lock.
 """
 
+import os
+import pickle
 import threading
 from typing import Any, Tuple
 
@@ -164,3 +166,73 @@ class HostReplayBuffer:
         if self._storage is None:
             return 0
         return int(sum(s.nbytes for s in self._storage))
+
+    # -- Persistence (opt-in; the reference has no equivalent — its replay
+    # -- is RAM-only and a learner restart refills from current-policy data,
+    # -- gcp/train_atari.sh:28-33. Beating that restart cost is the point.)
+
+    def save(self, directory: str) -> None:
+        """Writes the full buffer state under ``directory``.
+
+        Layout: one streamed ``.npy`` per storage leaf (``np.save`` handles
+        multi-GB uint8 arrays without a copy), ``meta.npz`` with
+        priorities/cursors, and the pickled item treedef. The write goes to
+        ``directory + '.tmp'`` first and is renamed into place, so a crash
+        mid-save leaves the previous snapshot intact.
+        """
+        assert self._prefetch_thread is None, "quiesce prefetch before save"
+        tmp = directory + ".tmp"
+        if os.path.exists(tmp):
+            import shutil
+
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        with self._lock:
+            np.savez(
+                os.path.join(tmp, "meta.npz"),
+                priorities=self._priorities,
+                insert_index=self._insert_index,
+                num_inserted=self._num_inserted,
+                size=self.size,
+                num_leaves=0 if self._storage is None else len(
+                    self._storage
+                ),
+            )
+            if self._storage is not None:
+                with open(os.path.join(tmp, "treedef.pkl"), "wb") as f:
+                    pickle.dump(self._treedef, f)
+                for i, leaf in enumerate(self._storage):
+                    np.save(os.path.join(tmp, f"leaf_{i}.npy"), leaf)
+        if os.path.exists(directory):
+            import shutil
+
+            shutil.rmtree(directory)
+        os.rename(tmp, directory)
+
+    def restore(self, directory: str) -> bool:
+        """Loads a ``save()`` snapshot; returns False if none exists."""
+        meta_path = os.path.join(directory, "meta.npz")
+        if not os.path.exists(meta_path):
+            return False
+        assert self._prefetch_thread is None
+        meta = np.load(meta_path)
+        if int(meta["size"]) != self.size:
+            raise ValueError(
+                f"replay snapshot size {int(meta['size'])} != configured "
+                f"--replay_buffer_size {self.size}; use a matching size or "
+                "a fresh replay directory"
+            )
+        num_leaves = int(meta["num_leaves"])
+        with self._lock:
+            self._priorities = meta["priorities"].astype(np.float64)
+            self._insert_index = int(meta["insert_index"])
+            self._num_inserted = int(meta["num_inserted"])
+            if num_leaves:
+                with open(os.path.join(directory, "treedef.pkl"),
+                          "rb") as f:
+                    self._treedef = pickle.load(f)
+                self._storage = [
+                    np.load(os.path.join(directory, f"leaf_{i}.npy"))
+                    for i in range(num_leaves)
+                ]
+        return True

@@ -113,6 +113,13 @@ def parse_args(argv=None):
     p.add_argument("--lambda_", type=float, default=0.95)
     p.add_argument("--save_checkpoint_secs", type=float, default=1800)
     p.add_argument("--init_checkpoint", default=None)
+    p.add_argument("--checkpoint_replay", action="store_true",
+                   help="host-env off-policy agents: snapshot the host-RAM "
+                        "replay buffer under <logdir>/replay on the "
+                        "checkpoint cadence and restore it on resume. The "
+                        "reference cannot do this (its buffer is RAM-only; "
+                        "a restart refills from current-policy data, "
+                        "gcp/train_atari.sh:28-33)")
     p.add_argument("--steps_per_call", type=int, default=10)
     p.add_argument("--log_every_steps", type=int, default=20)
     p.add_argument("--num_replicas", type=int, default=0,
@@ -342,6 +349,17 @@ def make_env(args):
 
 def _action_space_of(env):
     return env.action_space
+
+
+def _replay_dir(args):
+    """Replay snapshot directory for --checkpoint_replay (None = off)."""
+    if not getattr(args, "checkpoint_replay", False):
+        return None
+    if not args.logdir:
+        raise ValueError("--checkpoint_replay requires --logdir")
+    import os
+
+    return os.path.join(os.path.abspath(args.logdir), "replay")
 
 
 def _maybe_eval(args, env, agent, learner, checkpoint, rng, location) -> bool:
@@ -1062,6 +1080,7 @@ def main(argv=None):
                 checkpoint=checkpoint,
                 log_every_cycles=args.log_every_steps,
                 pipeline=args.pipeline_host_rollouts,
+                replay_dir=_replay_dir(args),
             )
         else:
             from seed_rl_tpu.rollout import RolloutEngine
@@ -1236,6 +1255,7 @@ def main(argv=None):
                 checkpoint=checkpoint,
                 log_every_cycles=args.log_every_steps,
                 pipeline=args.pipeline_host_rollouts,
+                replay_dir=_replay_dir(args),
             )
             logger.flush()
             checkpoint.close()

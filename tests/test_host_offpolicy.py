@@ -397,6 +397,100 @@ def test_r2d2_host_end_to_end_pipelined():
     assert np.isfinite(replay._priorities[: replay.num_inserted]).all()
 
 
+def test_host_replay_save_restore_roundtrip(tmp_path):
+    """Replay persistence (round-4): contents, priorities, cursors and
+    subsequent FIFO behaviour survive a save/restore cycle. The reference
+    cannot do this at all (RAM-only buffer, gcp/train_atari.sh:28-33)."""
+    d = str(tmp_path / "replay")
+    buf = HostReplayBuffer(size=8, importance_sampling_exponent=0.6, seed=3)
+    items = {"x": np.arange(6, dtype=np.float32),
+             "y": np.arange(12, dtype=np.uint8).reshape(6, 2)}
+    buf.insert(items, np.array([1.0, 2, 3, 4, 5, 6]))
+    buf.update_priorities(np.array([1]), np.array([9.0]))
+    buf.save(d)
+
+    restored = HostReplayBuffer(size=8, importance_sampling_exponent=0.6,
+                                seed=3)
+    assert restored.restore(d)
+    assert restored.num_inserted == 6
+    assert restored._insert_index == buf._insert_index
+    np.testing.assert_array_equal(restored._storage[0], buf._storage[0])
+    np.testing.assert_array_equal(restored._storage[1], buf._storage[1])
+    np.testing.assert_array_equal(restored._priorities, buf._priorities)
+    # Continued insertion wraps exactly as the original would.
+    more = {"x": 100 + np.arange(4, dtype=np.float32),
+            "y": np.zeros((4, 2), np.uint8)}
+    i1 = buf.insert(dict(more), np.ones(4))
+    i2 = restored.insert(dict(more), np.ones(4))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(restored._storage[0], buf._storage[0])
+    # Sampling the restored buffer returns structurally-identical items.
+    _, _, sampled = restored.sample(4, priority_exp=1.0, device_put=False)
+    assert set(sampled.keys()) == {"x", "y"}
+    # Size mismatch is an error, not silent corruption.
+    with pytest.raises(ValueError):
+        HostReplayBuffer(size=16, importance_sampling_exponent=0.6).restore(
+            d
+        )
+    # Missing snapshot is a clean no-op.
+    assert not HostReplayBuffer(8, 0.6).restore(str(tmp_path / "nope"))
+
+
+def test_host_offpolicy_replay_checkpoint_resume(tmp_path):
+    """train -> checkpoint -> restore: BOTH the device train state and the
+    host replay buffer continue (the round-3 strict-SAC resume regression:
+    without this, a restart refills replay from current-policy data and
+    knocks the curve back — RESULTS.md round-3 rerun)."""
+    from seed_rl_tpu.host_offpolicy import host_offpolicy_loop
+    from seed_rl_tpu.utils.checkpoint import CheckpointManager
+
+    logdir = str(tmp_path / "run")
+    replay_dir = str(tmp_path / "run" / "replay")
+
+    env, engine, learner, config = _tiny_r2d2_host(num_envs=4, num_eval=0)
+    replay = HostReplayBuffer(
+        config.replay_buffer_size, config.importance_sampling_exponent
+    )
+    ckpt = CheckpointManager(logdir, save_checkpoint_secs=0.0)
+    state = host_offpolicy_loop(
+        learner, engine, replay, jax.random.PRNGKey(0),
+        total_environment_frames=4 * 6 * 6,
+        replay_ratio=1.0,
+        replay_buffer_min_size=config.replay_buffer_min_size,
+        checkpoint=ckpt, replay_dir=replay_dir,
+    )
+    ckpt.close()
+    step1 = int(state.step)
+    inserted1 = replay.num_inserted
+    frame1 = replay._storage[0][:inserted1].copy()
+    assert step1 > 0 and inserted1 > 0
+
+    # Fresh process: new learner/engine/replay, same logdir.
+    env2, engine2, learner2, config2 = _tiny_r2d2_host(num_envs=4,
+                                                       num_eval=0)
+    replay2 = HostReplayBuffer(
+        config2.replay_buffer_size, config2.importance_sampling_exponent
+    )
+    ckpt2 = CheckpointManager(logdir, save_checkpoint_secs=1e9)
+    state2 = host_offpolicy_loop(
+        learner2, engine2, replay2, jax.random.PRNGKey(1),
+        total_environment_frames=4 * 6 * 2,  # short continuation
+        replay_ratio=1.0,
+        replay_buffer_min_size=config2.replay_buffer_min_size,
+        checkpoint=ckpt2, replay_dir=replay_dir,
+    )
+    ckpt2.close()
+    # Optimizer step counter continued from the checkpoint, not from 0.
+    assert int(state2.step) > step1
+    # Replay resumed with the saved experience plus the new cycles' items.
+    assert replay2.num_inserted == inserted1 + 4 * 2
+    np.testing.assert_array_equal(
+        replay2._storage[0][:inserted1], frame1
+    )
+    env.close()
+    env2.close()
+
+
 def test_r2d2_replay_soak_harness():
     """The reference-scale soak harness runs end-to-end at toy scale every
     CI run; the full 100k-unroll (~86 GiB) soak is opt-in:

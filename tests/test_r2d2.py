@@ -89,6 +89,40 @@ def test_train_step_updates_priorities_and_params():
     )
 
 
+def test_fused_replay_state_in_checkpoint(tmp_path):
+    """The fused path's ReplayState rides the Orbax checkpoint: a restore
+    resumes with the exact buffer contents, priorities and cursors (the
+    reference loses its replay on restart — gcp/train_atari.sh:28-33)."""
+    from seed_rl_tpu.utils.checkpoint import CheckpointManager
+
+    learner = _make_learner(num_envs=8, num_eval_envs=0, min_size=4,
+                            batch_size=4)
+    state = jax.jit(learner.init)(jax.random.PRNGKey(0))
+    state = jax.jit(learner.warmup_step)(state)
+    state, _ = jax.jit(learner.train_step)(state)
+
+    ckpt = CheckpointManager(str(tmp_path), save_checkpoint_secs=0.0)
+    assert ckpt.maybe_save(int(state.step), state)
+    ckpt.close()
+
+    fresh = jax.jit(learner.init)(jax.random.PRNGKey(7))
+    assert int(fresh.replay.num_inserted) == 0
+    ckpt2 = CheckpointManager(str(tmp_path))
+    restored = ckpt2.restore_or(fresh)
+    ckpt2.close()
+    assert int(restored.replay.num_inserted) == int(
+        state.replay.num_inserted
+    )
+    for got, want in zip(
+        jax.tree.leaves(restored.replay), jax.tree.leaves(state.replay)
+    ):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # Training continues from the restored buffer without a warmup refill.
+    restored2, logs = jax.jit(learner.train_step)(restored)
+    assert int(restored2.step) == int(state.step) + 1
+    assert np.isfinite(float(logs["losses/td"]))
+
+
 def test_target_network_updates_on_schedule():
     learner = _make_learner(
         num_envs=8, num_eval_envs=0, min_size=4, batch_size=4, target_update=2
