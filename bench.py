@@ -6,9 +6,10 @@ Emits one JSON line per workload, primary (V-trace) first:
    cloud shape (unroll 80, burn-in 40, batch 64, prioritized replay +
    target net, DuelingLSTMDQNNet on 84x84 uint8 frames —
    gcp/train_atari.sh:86-105).
-2. ``ppo_env_frames_per_sec_per_chip`` — PPO with the HalfCheetah-style
-   composition (GAE + PPO-epsilon loss + PopArt + input norm, split batch
-   mode, 10 epochs — mujoco/gin/ppo.gin) on vector observations.
+2. ``ppo_vector_obs_tracking_fps_per_chip`` — PPO with the
+   HalfCheetah-style composition (GAE + PPO-epsilon loss + PopArt + input
+   norm, split batch mode, 10 epochs — mujoco/gin/ppo.gin) on vector
+   observations. Tracking metric only (near-zero env/net cost).
 3. ``vtrace_atari_env_frames_per_sec_per_chip`` — fused on-device
    rollout+train (conv + LSTM policy over 84x84 uint8 frames), the
    workload class of BASELINE.md's primary metric.
@@ -25,9 +26,14 @@ round-over-round tracking figure, not a parity claim.
 4. ``ppo_atari_env_frames_per_sec_per_chip`` — conv-PPO: AtariPolicyNet
    (conv + LSTM) over 84x84 uint8 frames with the GeneralizedOnPolicyLoss
    composition in shuffle batch mode — the visual-PPO workload class the
-   reference runs on DmLab/Atari via gin. The vector-obs
-   ``ppo_env_frames_per_sec_per_chip`` line is a round-over-round tracking
-   metric only (near-zero env/net cost; see its docstring).
+   reference runs on DmLab/Atari via gin. Measured round 4 (RESULTS.md):
+   the 2-epoch update is exactly 2x one full fwd+bwd; the gap vs V-trace
+   is the epochs, not a layout pathology.
+
+5. ``dmlab_vtrace_env_frames_per_sec_per_chip`` — ImpalaDeep resnet on
+   72x96x3 DmLab-shaped frames, V-trace: the exact workload class of the
+   40k/chip anchor (SEED paper DmLab number), i.e. the apples-to-apples
+   vs_baseline line.
 
 Methodology: iterations chain through a donated train state; one host fetch
 per measurement window (the axon relay charges ~20ms per fetch round-trip
@@ -254,7 +260,50 @@ def bench_ppo():
     fps, spread = _measure(
         run, state, steps_per_call * num_envs * unroll_length, calls
     )
-    _emit("ppo_env_frames_per_sec_per_chip", fps, spread)
+    # "tracking" in the name: 4-dim ToyEnv obs, near-zero env/net cost —
+    # a round-over-round regression canary, NOT a parity headline (the
+    # conv-PPO line above is the real visual-PPO number).
+    _emit("ppo_vector_obs_tracking_fps_per_chip", fps, spread)
+
+
+def bench_dmlab_vtrace():
+    """ImpalaDeep V-trace on DmLab-shaped frames — the anchor workload.
+
+    The 40k frames/s/chip baseline anchor derives from the SEED paper's
+    DmLab number (2.4M fps / 64 TPUv3 cores), measured with the deep
+    IMPALA resnet on 72x96x3 frames (reference dmlab/networks.py:63-171).
+    This line is therefore the only apples-to-apples vs_baseline in the
+    file; the Atari-net lines are workload-adjacent.
+    """
+    from seed_rl_tpu import distributions as pd
+    from seed_rl_tpu.agent import PolicyAgent
+    from seed_rl_tpu.agents import vtrace as vtrace_agent
+    from seed_rl_tpu.envs import BatchedEnv
+    from seed_rl_tpu.envs.synthetic import SyntheticDmLabEnv
+    from seed_rl_tpu.models.resnets import ImpalaDeep
+    from seed_rl_tpu.rollout import RolloutEngine
+
+    num_envs, unroll_length, steps_per_call, calls = 256, 32, 1, 8
+    num_actions = 9
+    env = BatchedEnv(SyntheticDmLabEnv(num_actions=num_actions), num_envs)
+    dist = pd.CategoricalDistribution(num_actions)
+    net = ImpalaDeep(num_actions=num_actions, dtype=jnp.bfloat16)
+    agent = PolicyAgent(net, dist)
+    engine = RolloutEngine(env, agent, unroll_length)
+    learner = vtrace_agent.VTraceLearner(
+        engine,
+        agent,
+        vtrace_agent.VTraceConfig(),
+        optax.chain(optax.clip_by_global_norm(40.0), optax.adam(3e-4)),
+    )
+    state = jax.jit(learner.init)(jax.random.PRNGKey(0))
+    run = jax.jit(
+        lambda s: learner.train_many(s, steps_per_call), donate_argnums=0
+    )
+    fps, spread = _measure(
+        run, state, steps_per_call * num_envs * unroll_length, calls
+    )
+    _emit("dmlab_vtrace_env_frames_per_sec_per_chip", fps, spread)
 
 
 def bench_ppo_atari():
@@ -376,6 +425,7 @@ def main():
     # driver-side timeout can only truncate the secondary workloads.
     bench_vtrace()
     bench_r2d2()
+    bench_dmlab_vtrace()
     bench_ppo_atari()
     bench_ppo()
     bench_scaling()

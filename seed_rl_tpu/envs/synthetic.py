@@ -77,6 +77,34 @@ class SyntheticAtariEnv(JaxEnv):
         )
 
 
+class SyntheticDmLabEnv(SyntheticAtariEnv):
+    """DmLab-shaped frames: 72x96 RGB uint8 (reference dmlab/env.py obs),
+    9-action discrete set (dmlab/env.py:44-54). The workload class of the
+    SEED paper's DmLab throughput number — the 40k frames/s/chip anchor
+    bench.py compares against — so benching ImpalaDeep on these shapes is
+    the apples-to-apples vs_baseline comparison."""
+
+    def __init__(
+        self,
+        num_actions: int = 9,
+        frame_shape: Tuple[int, int] = (72, 96),
+        episode_length: int = 1000,
+    ):
+        super().__init__(num_actions, frame_shape, episode_length)
+
+    def observation_spec(self):
+        h, w = self.frame_shape
+        return jax.ShapeDtypeStruct((h, w, 3), jnp.uint8)
+
+    def _obs(self, state):
+        h, w = self.frame_shape
+        row = jax.lax.broadcasted_iota(jnp.int32, (h, w, 3), 0)
+        chan = jax.lax.broadcasted_iota(jnp.int32, (h, w, 3), 2)
+        return ((row + 37 * chan + state.t + state.seed) % 255).astype(
+            jnp.uint8
+        )
+
+
 class SyntheticAtariGymEnv(gym.Env):
     """Host-process twin of ``SyntheticAtariEnv`` (gymnasium API).
 

@@ -124,6 +124,13 @@ def parse_args(argv=None):
     p.add_argument("--log_every_steps", type=int, default=20)
     p.add_argument("--num_replicas", type=int, default=0,
                    help="0 = all local devices (data parallelism)")
+    p.add_argument("--remat_torso", action="store_true",
+                   help="rematerialize the ImpalaDeep resnet torso in the "
+                        "backward pass (jax.checkpoint): ~8x smaller "
+                        "activation footprint for ~1/3 extra torso FLOPs, "
+                        "so one chip trains 2-4x larger env batches "
+                        "(measured: [33,512] DmLab batch needs 17.5 GB "
+                        "without remat, fits 1024 envs with it)")
     # PPO.
     p.add_argument("--epochs_per_step", type=int, default=10)
     p.add_argument("--batch_mode", default=None,
@@ -559,7 +566,8 @@ def main(argv=None):
         elif args.env == "dmlab":
             from seed_rl_tpu.models.resnets import ImpalaDeep
 
-            net = ImpalaDeep(num_actions=int(_action_space_of(env).n))
+            net = ImpalaDeep(num_actions=int(_action_space_of(env).n),
+                             remat=args.remat_torso)
         elif args.env == "football":
             from seed_rl_tpu.models.resnets import GFootball
 
@@ -720,7 +728,8 @@ def main(argv=None):
             elif args.env == "dmlab":
                 from seed_rl_tpu.models.resnets import ImpalaDeep
 
-                net = ImpalaDeep(num_actions=int(space.n))
+                net = ImpalaDeep(num_actions=int(space.n),
+                                 remat=args.remat_torso)
                 recurrent = True
             elif args.env == "football":
                 from seed_rl_tpu.models.resnets import GFootball

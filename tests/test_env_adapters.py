@@ -134,6 +134,47 @@ def test_impala_deep_forward():
     assert new_state[0][0].shape == (B, 256)
 
 
+def test_impala_deep_remat_matches_no_remat():
+    """remat=True is a pure memory/FLOPs trade: outputs and gradients are
+    identical to the stored-activation path (same params)."""
+    B = 2
+    env_output = _env_output(B, (24, 32), 3)
+    prev_action = jnp.zeros((B,), jnp.int32)
+    net = ImpalaDeep(num_actions=9)
+    net_r = ImpalaDeep(num_actions=9, remat=True)
+    state = net.initial_state(B)
+    params = net.init(jax.random.PRNGKey(0), prev_action, env_output, state)
+
+    def loss(n, p):
+        (logits, baseline), _ = n.apply(p, prev_action, env_output, state)
+        return jnp.sum(logits**2) + jnp.sum(baseline**2)
+
+    # remat re-structures the flax param tree identically (same names).
+    l0, g0 = jax.value_and_grad(lambda p: loss(net, p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(net_r, p))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+
+def test_synthetic_dmlab_env_shapes():
+    """SyntheticDmLabEnv: DmLab-shaped 72x96x3 uint8 frames, 9 actions,
+    rollout-compatible (the bench.py dmlab_vtrace workload)."""
+    from seed_rl_tpu.envs import BatchedEnv
+    from seed_rl_tpu.envs.synthetic import SyntheticDmLabEnv
+
+    env = BatchedEnv(SyntheticDmLabEnv(), 3)
+    assert env.observation_spec().shape == (72, 96, 3)
+    assert int(env.action_space.n) == 9
+    state, out = env.reset(jax.random.PRNGKey(0))
+    obs = out.observation
+    assert obs.shape == (3, 72, 96, 3) and obs.dtype == jnp.uint8
+    state, out2 = env.step(state, jnp.zeros((3,), jnp.int32))
+    assert out2.observation.shape == (3, 72, 96, 3)
+    # Frames vary across channels and steps (not a constant tensor).
+    assert int(jnp.sum(out2.observation != obs)) > 0
+
+
 def test_gfootball_net_forward_with_packed_obs():
     net = GFootball(parametric_distribution_param_size=19)
     B = 2
