@@ -221,16 +221,73 @@ def main(argv=None):
     # host->device copy of sampled batches dominates the sustained cycle;
     # on a PCIe/host-attached chip it is >100x faster. Reporting it makes
     # the sustained number interpretable across environments.
-    probe = np.zeros((16 << 20,), np.uint8)
+    #
+    # Dtype-parity probe: the reference packs sampled uint8 4->uint32
+    # before infeed because TF's TPU transfer inflated uint8 to int32
+    # (tpu_encode, /root/reference/common/utils.py:884-944). On a PJRT
+    # path bytes are transferred 1:1 regardless of dtype, so the packing
+    # is a no-op — measured here (round 4): uint8, bitcast-uint32 and
+    # float32 of equal byte count move at equal MB/s. The host-fed
+    # sample path therefore has no packing lever; its levers are overlap
+    # (the prefetch thread, in place) and hardware attachment.
+    # NOTE: sync via block_until_ready, which does block for device_put
+    # transfer futures (it is jitted *execution* the relay fails to block
+    # on); a jitted-reduction sync here would AOT-compile one tiny program
+    # per distinct shape (~20 s each through the remote compile helper)
+    # and measure the compiler, not the copy.
+    def _h2d_probe(arr, reps=2):
+        jax.device_put(arr).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            jax.device_put(arr).block_until_ready()
+        return arr.nbytes / 2**20 / ((time.perf_counter() - t0) / reps)
+
+    probe_u8 = np.random.randint(0, 256, (16 << 20,), np.uint8)
+    h2d_mbps = _h2d_probe(probe_u8)
+    h2d_mbps_u32 = _h2d_probe(probe_u8.view(np.uint32))
+    h2d_mbps_f32 = _h2d_probe(
+        np.random.rand(4 << 20).astype(np.float32)
+    )
+
+    # Per-stage decomposition of one sustained cycle (grounds the
+    # host-attached-chip projection in component measurements).
     t0 = time.perf_counter()
-    jax.block_until_ready(jax.device_put(probe))
-    h2d_mbps = 16.0 / max(time.perf_counter() - t0, 1e-9)
+    replay.insert(items, priorities)
+    stage_insert_ms = (time.perf_counter() - t0) * 1e3
+    t0 = time.perf_counter()
+    with replay._lock:
+        idx_d, w_d, gathered_d = replay._sample_host(
+            args.batch_size, config.priority_exponent
+        )
+    stage_gather_ms = (time.perf_counter() - t0) * 1e3
+    batch_mb = sum(g.nbytes for g in gathered_d) / 2**20
+    for g in gathered_d:  # warm the per-shape transfer path
+        jax.device_put(g).block_until_ready()
+    t0 = time.perf_counter()
+    put = [jax.device_put(g) for g in gathered_d]
+    for x in put:
+        x.block_until_ready()
+    stage_h2d_ms = (time.perf_counter() - t0) * 1e3
+    items_d = jax.tree_util.tree_unflatten(replay._treedef, put)
+    state, new_priorities, _ = train(state, items_d, jnp.asarray(w_d))
+    t0 = time.perf_counter()
+    _ = np.asarray(new_priorities)
+    stage_train_ms = (time.perf_counter() - t0) * 1e3
 
     result = {
         "metric": "r2d2_host_replay_soak",
         "buffer_unrolls": args.buffer_size,
         "buffer_gib": round(fill_gib, 2),
         "h2d_mbps": round(h2d_mbps, 1),
+        "h2d_mbps_packed_u32": round(h2d_mbps_u32, 1),
+        "h2d_mbps_f32": round(h2d_mbps_f32, 1),
+        "stage_ms": {
+            "insert": round(stage_insert_ms, 1),
+            "sample_gather": round(stage_gather_ms, 1),
+            "h2d": round(stage_h2d_ms, 1),
+            "train_wait": round(stage_train_ms, 1),
+            "batch_mb": round(batch_mb, 1),
+        },
         "rss_gib": round(_rss_gb(), 2),
         "fill_frames_per_sec": round(
             args.buffer_size * args.unroll_length / fill_secs, 1

@@ -135,6 +135,12 @@ class R2D2Config:
     num_eval_envs: int = 0
     value_function_rescaling_epsilon: float = 1e-3
     num_action_repeats: int = 1
+    # "nstep" (reference r2d2 learner.py:195-255) or "retrace":
+    # Retrace(lambda) clipped-trace targets (ops/value_ops.py
+    # retrace_loss_and_priorities) — a north-star capability beyond the
+    # reference, which ships n-step only.
+    target: str = "nstep"
+    retrace_lambda: float = 0.95
 
 
 class StoredUnroll(NamedTuple):
@@ -215,8 +221,13 @@ def compute_loss_and_priorities(
     n_steps: int,
     eta: float = 0.9,
     rescaling_eps: float = 1e-3,
+    target: str = "nstep",
+    retrace_lambda: float = 0.95,
 ):
-    """Burn-in + double-DQN sequence loss (reference :333-384)."""
+    """Burn-in + double-DQN sequence loss (reference :333-384).
+
+    ``target="retrace"`` swaps the n-step Bellman targets for
+    Retrace(lambda) clipped-trace targets (value_ops.py)."""
     if burn_in:
         prefix = jax.tree.map(
             lambda t: t[:burn_in], (prev_actions, env_outputs)
@@ -240,6 +251,23 @@ def compute_loss_and_priorities(
     target_output, _ = agent.unroll(target_params, *suffix, target_state)
     env_outputs_suffix = suffix[1]
 
+    if target == "retrace":
+        from seed_rl_tpu.ops import value_ops
+
+        loss, priorities = value_ops.retrace_loss_and_priorities(
+            training_output.q_values,
+            target_output.q_values,
+            training_output.action,
+            agent_outputs_suffix.action,
+            env_outputs_suffix.reward,
+            env_outputs_suffix.done,
+            gamma=gamma,
+            lambda_=retrace_lambda,
+            eta=eta,
+            rescaling_eps=rescaling_eps,
+        )
+        return loss, priorities
+    assert target == "nstep", target
     loss, priorities = nstep_kernel.td_loss_and_priorities_dispatch(
         training_output.q_values,
         target_output.q_values,
@@ -384,6 +412,8 @@ class R2D2Learner:
                 burn_in=config.burn_in,
                 n_steps=config.n_steps,
                 rescaling_eps=config.value_function_rescaling_epsilon,
+                target=config.target,
+                retrace_lambda=config.retrace_lambda,
             )
             return jnp.mean(loss * weights), priorities
 
@@ -541,6 +571,8 @@ class R2D2HostLearner:
                 burn_in=config.burn_in,
                 n_steps=config.n_steps,
                 rescaling_eps=config.value_function_rescaling_epsilon,
+                target=config.target,
+                retrace_lambda=config.retrace_lambda,
             )
             return jnp.mean(loss * weights), priorities
 

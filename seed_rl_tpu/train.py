@@ -166,6 +166,12 @@ def parse_args(argv=None):
     # R2D2.
     p.add_argument("--burn_in", type=int, default=40)
     p.add_argument("--n_steps", type=int, default=5)
+    p.add_argument("--target", default="nstep",
+                   choices=["nstep", "retrace"],
+                   help="R2D2 target estimator: n-step Bellman (the "
+                        "reference's only option, r2d2 learner.py:195-255) "
+                        "or Retrace(lambda) clipped-trace targets")
+    p.add_argument("--retrace_lambda", type=float, default=0.95)
     p.add_argument("--replay_buffer_size",
                    type=lambda s: int(float(s)), default=10_000,
                    help="unrolls (R2D2) / windows (SAC). Device envs keep "
@@ -991,6 +997,8 @@ def main(argv=None):
             update_target_every_n_step=args.update_target_every_n_step,
             num_eval_envs=args.num_eval_envs,
             train_batches_per_step=args.train_batches_per_step,
+            target=args.target,
+            retrace_lambda=args.retrace_lambda,
         )
         components = _apply_agent_module(args, env, {
             "net": net, "agent": agent, "config": config,

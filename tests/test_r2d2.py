@@ -26,6 +26,7 @@ def _make_learner(
     buffer_size=256,
     min_size=32,
     target_update=20,
+    target="nstep",
 ):
     env = BatchedEnv(DiscreteMatchEnv(n_actions=4, horizon=10), num_envs)
     net = VectorDuelingDQNNet(
@@ -51,6 +52,7 @@ def _make_learner(
         batch_size=batch_size,
         update_target_every_n_step=target_update,
         num_eval_envs=num_eval_envs,
+        target=target,
     )
     return r2d2.R2D2Learner(
         engine,
@@ -144,6 +146,44 @@ def test_target_network_updates_on_schedule():
         state.target_params,
     )
     assert max(jax.tree.leaves(diff)) == 0
+
+
+def test_r2d2_retrace_learns_discrete_match():
+    """R2D2 with Retrace(lambda) targets (--target=retrace) learns the
+    same toy task the n-step test pins — the north-star capability the
+    reference lacks (its r2d2 ships n-step only, learner.py:195-255)."""
+    learner = _make_learner(
+        num_envs=32,
+        num_eval_envs=4,
+        unroll_length=6,
+        burn_in=2,
+        batch_size=32,
+        buffer_size=512,
+        min_size=64,
+        target_update=25,
+        target="retrace",
+    )
+    state = jax.jit(learner.init)(jax.random.PRNGKey(3))
+    warmup = jax.jit(learner.warmup_step)
+    while (
+        int(state.replay.num_inserted)
+        < learner.config.replay_buffer_min_size
+    ):
+        state = warmup(state)
+    run = jax.jit(lambda s: learner.train_many(s, 25))
+    state, _ = run(state)
+    early = float(state.stats.sum_return) / max(
+        float(state.stats.num_episodes), 1.0
+    )
+    state = state._replace(
+        stats=episode_stats.reset_window(state.stats),
+        eval_stats=episode_stats.reset_window(state.eval_stats),
+    )
+    for _ in range(11):
+        state, logs = run(state)
+    late = float(state.stats.sum_return) / float(state.stats.num_episodes)
+    assert np.isfinite(float(logs["losses/td"]))
+    assert late > early + 2.0, (early, late)
 
 
 def test_r2d2_learns_discrete_match():
