@@ -631,8 +631,12 @@ def learner_loop(
             learner.train_many, num_steps=steps_per_call
         )
     else:
-        warmup = jax.jit(learner.warmup_step)
-        step_fn = jax.jit(
+        # checkify_jit == jax.jit unless --debug_asserts enabled the
+        # on-device contract checks (replay bounds/priority validity).
+        from seed_rl_tpu.utils import debug_asserts
+
+        warmup = debug_asserts.checkify_jit(learner.warmup_step)
+        step_fn = debug_asserts.checkify_jit(
             functools.partial(learner.train_many, num_steps=steps_per_call)
         )
     while (

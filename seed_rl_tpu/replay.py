@@ -27,6 +27,8 @@ from typing import Any, Callable, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from seed_rl_tpu.utils import debug_asserts
+
 
 class ReplayState(NamedTuple):
     buffer: Any  # pytree, leaves [size, ...]
@@ -100,6 +102,17 @@ class PrioritizedReplay:
         """
         batch = jnp.shape(priorities)[0]
         start = state.insert_index
+        # Contract (SURVEY §5, --debug_asserts): NaN/negative priorities
+        # would silently poison the categorical sampler downstream.
+        debug_asserts.check(
+            jnp.all(jnp.isfinite(jnp.asarray(priorities, jnp.float32)))
+            & jnp.all(jnp.asarray(priorities, jnp.float32) >= 0.0),
+            "replay.insert: priorities must be finite and >= 0",
+        )
+        debug_asserts.check(
+            (start >= 0) & (start < self.size),
+            "replay.insert: insert_index out of ring bounds",
+        )
         indices = (
             start + jnp.arange(batch, dtype=jnp.int32)
         ) % self.size
@@ -149,6 +162,11 @@ class PrioritizedReplay:
     ):
         """Returns (indices i32[n], weights f32[n], items pytree[n, ...])."""
         limit = jnp.minimum(state.num_inserted, self.size)
+        # Contract: sampling an empty buffer silently clamps to slot 0 and
+        # trains on zeros (reference asserts host-side, utils.py:321).
+        debug_asserts.check(
+            limit > 0, "replay.sample: buffer is empty"
+        )
         valid = jnp.arange(self.size) < limit
         if priority_exp == 0:
             indices = jax.random.randint(

@@ -124,6 +124,11 @@ def parse_args(argv=None):
     p.add_argument("--log_every_steps", type=int, default=20)
     p.add_argument("--num_replicas", type=int, default=0,
                    help="0 = all local devices (data parallelism)")
+    p.add_argument("--debug_asserts", action="store_true",
+                   help="enable on-device contract checks in the fused "
+                        "paths (replay index bounds, priority validity) "
+                        "via jax.experimental.checkify; compiled out "
+                        "entirely when off (SURVEY §5 race-detection row)")
     p.add_argument("--remat_torso", action="store_true",
                    help="rematerialize the ImpalaDeep resnet torso in the "
                         "backward pass (jax.checkpoint): ~8x smaller "
@@ -476,6 +481,11 @@ def main(argv=None):
 
     args = parse_args(argv)
     result_snapshots = None  # in-memory LearnerState snapshots (PPO)
+
+    if args.debug_asserts:
+        from seed_rl_tpu.utils import debug_asserts
+
+        debug_asserts.enable()
 
     # Restarts (preemption recovery, eval jobs, re-runs) reload compiled
     # executables from disk instead of re-paying minutes of XLA builds.
@@ -1311,8 +1321,10 @@ def main(argv=None):
                 learner.train_many, num_steps=args.steps_per_call
             )
         else:
-            warmup = jax.jit(learner.warmup_step)
-            run = jax.jit(
+            from seed_rl_tpu.utils import debug_asserts
+
+            warmup = debug_asserts.checkify_jit(learner.warmup_step)
+            run = debug_asserts.checkify_jit(
                 functools.partial(
                     learner.train_many, num_steps=args.steps_per_call
                 )

@@ -171,3 +171,10 @@ def test_n_step_termination_stops_bootstrap():
     )
     # Step 0: r0 + g*(r1 + 0) — termination at step 1 zeroes bootstrap.
     np.testing.assert_allclose(targets[0, 0], 1 + 0.9 * 1.0)
+
+
+import pytest as _pytest_tiering  # noqa: E402
+
+# Critical tier: fast golden/data-plane pinning tests (pytest -m critical
+# is the documented pre-commit gate; see pytest.ini).
+pytestmark = _pytest_tiering.mark.critical

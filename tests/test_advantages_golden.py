@@ -126,3 +126,10 @@ def test_nstep_golden(n):
     np.testing.assert_allclose(
         np.asarray(ref_adv), np.asarray(our_adv), rtol=1e-5, atol=1e-5
     )
+
+
+import pytest as _pytest_tiering  # noqa: E402
+
+# Critical tier: fast golden/data-plane pinning tests (pytest -m critical
+# is the documented pre-commit gate; see pytest.ini).
+pytestmark = _pytest_tiering.mark.critical

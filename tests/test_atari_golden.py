@@ -208,3 +208,10 @@ def test_random_noops_match_reference_with_same_rng():
         seed=123,
         actions=[1, 2, 0, 3, 1, 0],
     )
+
+
+import pytest as _pytest_tiering  # noqa: E402
+
+# Critical tier: fast golden/data-plane pinning tests (pytest -m critical
+# is the documented pre-commit gate; see pytest.ini).
+pytestmark = _pytest_tiering.mark.critical

@@ -93,3 +93,10 @@ def test_actor_loop_adopts_pushed_config():
         apply_config_fn=adopted.update,
     )
     assert adopted == {"unroll_length": 80}
+
+
+import pytest as _pytest_tiering  # noqa: E402
+
+# Critical tier: fast golden/data-plane pinning tests (pytest -m critical
+# is the documented pre-commit gate; see pytest.ini).
+pytestmark = _pytest_tiering.mark.critical

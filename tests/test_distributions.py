@@ -211,3 +211,10 @@ def test_deterministic_tanh():
     params = jnp.array([0.5, -2.0])
     s = dist.sample(params, jax.random.PRNGKey(0))
     np.testing.assert_allclose(np.asarray(s), np.tanh([0.5, -2.0]), rtol=1e-4)
+
+
+import pytest as _pytest_tiering  # noqa: E402
+
+# Critical tier: fast golden/data-plane pinning tests (pytest -m critical
+# is the documented pre-commit gate; see pytest.ini).
+pytestmark = _pytest_tiering.mark.critical

@@ -374,3 +374,10 @@ def test_vtrace_golden_vs_reference_tf(clip_rho, clip_pg_rho, lambda_):
         np.asarray(our_out.pg_advantages),
         rtol=2e-5, atol=2e-5,
     )
+
+
+import pytest as _pytest_tiering  # noqa: E402
+
+# Critical tier: fast golden/data-plane pinning tests (pytest -m critical
+# is the documented pre-commit gate; see pytest.ini).
+pytestmark = _pytest_tiering.mark.critical

@@ -148,3 +148,10 @@ def test_sac_normalizing_agent_trains():
     assert np.isfinite(float(metrics["losses/total"]))
     # Target-net tree includes a (drifting) copy of the stats.
     assert "obs_norm" in state.target_net_params
+
+
+import pytest as _pytest_tiering  # noqa: E402
+
+# Critical tier: fast golden/data-plane pinning tests (pytest -m critical
+# is the documented pre-commit gate; see pytest.ini).
+pytestmark = _pytest_tiering.mark.critical

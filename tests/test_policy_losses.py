@@ -182,3 +182,10 @@ def test_kl_regularizer_kl_terms_zero_for_identical_policies():
     )
     per_step, _, _ = reg(params, dist, logits, logits, None)
     np.testing.assert_allclose(np.asarray(per_step), 0.0, atol=1e-6)
+
+
+import pytest as _pytest_tiering  # noqa: E402
+
+# Critical tier: fast golden/data-plane pinning tests (pytest -m critical
+# is the documented pre-commit gate; see pytest.ini).
+pytestmark = _pytest_tiering.mark.critical

@@ -143,3 +143,10 @@ def test_vmpo_golden():
         ),
     )
     _compare(ref_loss, ours.vmpo(e_n=0.1), 4, rtol=1e-4, atol=1e-4)
+
+
+import pytest as _pytest_tiering  # noqa: E402
+
+# Critical tier: fast golden/data-plane pinning tests (pytest -m critical
+# is the documented pre-commit gate; see pytest.ini).
+pytestmark = _pytest_tiering.mark.critical

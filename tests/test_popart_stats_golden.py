@@ -237,3 +237,10 @@ def test_fixed_mean_std_golden():
     our_mean, our_std = our.mean_std(state)
     np.testing.assert_allclose(np.asarray(ref_mean), np.asarray(our_mean))
     np.testing.assert_allclose(np.asarray(ref_std), np.asarray(our_std))
+
+
+import pytest as _pytest_tiering  # noqa: E402
+
+# Critical tier: fast golden/data-plane pinning tests (pytest -m critical
+# is the documented pre-commit gate; see pytest.ini).
+pytestmark = _pytest_tiering.mark.critical

@@ -154,3 +154,10 @@ def test_loss_and_priorities_golden(n_steps, eta):
     np.testing.assert_allclose(
         np.asarray(ref_pri), np.asarray(our_pri), rtol=1e-4, atol=1e-4
     )
+
+
+import pytest as _pytest_tiering  # noqa: E402
+
+# Critical tier: fast golden/data-plane pinning tests (pytest -m critical
+# is the documented pre-commit gate; see pytest.ini).
+pytestmark = _pytest_tiering.mark.critical

@@ -232,3 +232,10 @@ def test_multi_axis_items_stored_flat():
         assert (row == np.asarray(values["frames"][0]).ravel()).all() or (
             row == np.asarray(values["frames"][1]).ravel()
         ).all()
+
+
+import pytest as _pytest_tiering  # noqa: E402
+
+# Critical tier: fast golden/data-plane pinning tests (pytest -m critical
+# is the documented pre-commit gate; see pytest.ini).
+pytestmark = _pytest_tiering.mark.critical

@@ -145,3 +145,10 @@ def test_input_normalization_invariance():
     np.testing.assert_allclose(
         np.asarray(before), np.asarray(after), rtol=1e-4, atol=1e-4
     )
+
+
+import pytest as _pytest_tiering  # noqa: E402
+
+# Critical tier: fast golden/data-plane pinning tests (pytest -m critical
+# is the documented pre-commit gate; see pytest.ini).
+pytestmark = _pytest_tiering.mark.critical

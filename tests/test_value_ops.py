@@ -217,3 +217,10 @@ def test_retrace_cuts_trace_at_exploratory_actions():
     ))
     np.testing.assert_allclose(changed[:3], base[:3], atol=1e-6)
     assert abs(changed[5, 0] - base[5, 0]) > 1.0  # after the cut: differs
+
+
+import pytest as _pytest_tiering  # noqa: E402
+
+# Critical tier: fast golden/data-plane pinning tests (pytest -m critical
+# is the documented pre-commit gate; see pytest.ini).
+pytestmark = _pytest_tiering.mark.critical

@@ -165,3 +165,10 @@ def test_vtrace_jit_compiles():
         jnp.zeros((B,)),
     )
     assert out.vs.shape == (T, B)
+
+
+import pytest as _pytest_tiering  # noqa: E402
+
+# Critical tier: fast golden/data-plane pinning tests (pytest -m critical
+# is the documented pre-commit gate; see pytest.ini).
+pytestmark = _pytest_tiering.mark.critical
