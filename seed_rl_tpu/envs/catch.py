@@ -22,6 +22,7 @@ from typing import NamedTuple, Tuple
 import gymnasium as gym
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from seed_rl_tpu.envs.core import JaxEnv, StepResult
 
@@ -116,6 +117,100 @@ class CatchEnv(JaxEnv):
         return StepResult(
             state=new_state,
             observation=self._obs(new_state),
+            reward=reward,
+            terminated=terminated,
+            abandoned=jnp.zeros((), bool),
+        )
+
+
+class ContinuousCatchState(NamedTuple):
+    ball_row: jnp.ndarray  # i32[]
+    ball_col: jnp.ndarray  # i32[]
+    paddle_pos: jnp.ndarray  # f32[] in [0, cols-1]
+    balls_done: jnp.ndarray  # i32[]
+    rng: jnp.ndarray
+
+
+class ContinuousCatchEnv(CatchEnv):
+    """Catch with a continuous paddle-velocity action — the SAC variant.
+
+    The fourth-agent visual-curve environment (SAC is continuous-control;
+    the discrete CatchEnv serves V-trace/R2D2/PPO): action is a
+    Box(-1, 1, (1,)) paddle velocity, the paddle position is a float
+    moving up to ``max_speed`` cells per step, and a ball is caught when
+    the paddle center is within ``catch_radius`` cells of the ball column
+    at landing. Rendering (paddle at the rounded cell) and episode
+    structure are identical to CatchEnv, so curves are comparable across
+    the four agents.
+    """
+
+    def __init__(
+        self,
+        rows: int = 12,
+        cols: int = 12,
+        cell_pixels: int = 7,
+        balls_per_episode: int = 5,
+        max_speed: float = 1.5,
+        catch_radius: float = 0.75,
+    ):
+        super().__init__(rows, cols, cell_pixels, balls_per_episode)
+        self.max_speed = max_speed
+        self.catch_radius = catch_radius
+        self._action_space = gym.spaces.Box(-1.0, 1.0, (1,), np.float32)
+
+    def _obs_continuous(self, state: ContinuousCatchState):
+        cell = jnp.round(state.paddle_pos).astype(jnp.int32)
+        discrete = CatchState(
+            ball_row=state.ball_row,
+            ball_col=state.ball_col,
+            paddle_col=jnp.clip(cell, 0, self.cols - 1),
+            balls_done=state.balls_done,
+            rng=state.rng,
+        )
+        return self._obs(discrete)
+
+    def reset(self, rng):
+        rng, ball_col = self._spawn(rng)
+        state = ContinuousCatchState(
+            ball_row=jnp.zeros((), jnp.int32),
+            ball_col=ball_col,
+            paddle_pos=jnp.asarray((self.cols - 1) / 2.0, jnp.float32),
+            balls_done=jnp.zeros((), jnp.int32),
+            rng=rng,
+        )
+        return state, self._obs_continuous(state)
+
+    def step(self, state: ContinuousCatchState, action):
+        velocity = jnp.clip(
+            jnp.asarray(action, jnp.float32).reshape(()), -1.0, 1.0
+        )
+        paddle_pos = jnp.clip(
+            state.paddle_pos + velocity * self.max_speed,
+            0.0,
+            float(self.cols - 1),
+        )
+        ball_row = state.ball_row + 1
+        landed = ball_row >= self.rows - 1
+        caught = landed & (
+            jnp.abs(state.ball_col.astype(jnp.float32) - paddle_pos)
+            <= self.catch_radius
+        )
+        reward = jnp.where(
+            landed, jnp.where(caught, 1.0, -1.0), 0.0
+        ).astype(jnp.float32)
+        balls_done = state.balls_done + landed.astype(jnp.int32)
+        terminated = balls_done >= self.balls_per_episode
+        rng, new_col = self._spawn(state.rng)
+        new_state = ContinuousCatchState(
+            ball_row=jnp.where(landed, 0, ball_row),
+            ball_col=jnp.where(landed, new_col, state.ball_col),
+            paddle_pos=paddle_pos,
+            balls_done=balls_done,
+            rng=jnp.where(landed, rng, state.rng),
+        )
+        return StepResult(
+            state=new_state,
+            observation=self._obs_continuous(new_state),
             reward=reward,
             terminated=terminated,
             abandoned=jnp.zeros((), bool),

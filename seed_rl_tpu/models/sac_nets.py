@@ -20,7 +20,7 @@ single-step rollout path is ``step`` (a length-1 scan, so parameters and
 reset semantics are shared with the training path by construction).
 """
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -112,6 +112,94 @@ class ActorCriticMLP(nn.Module):
         action_params = self.get_action_params(prev_action, env_output, state)
         v = self.get_v(prev_action, env_output, state)
         # Touch the critics so a single init creates every head's params.
+        action_dim = (
+            self.action_dim
+            if self.action_dim is not None
+            else self.parametric_distribution_param_size // 2
+        )
+        zero_action = jnp.zeros(
+            action_params.shape[:-1] + (action_dim,), jnp.float32
+        )
+        _ = self.get_q(prev_action, env_output, state, zero_action)
+        return (action_params, v), state
+
+
+class VisualActorCritic(nn.Module):
+    """SAC actor-critic over uint8 frames: shared conv encoder + MLP heads.
+
+    The visual-control SAC net (no reference counterpart — its SAC is
+    MLP/LSTM-only over vector observations, agents/sac/networks.py): a
+    Nature-DQN conv torso (models/atari.py AtariConvTorso) shared by the
+    actor, the V head and the ``n_critics`` Q heads (the standard shared-
+    encoder visual-SAC layout); Q heads concatenate the action with the
+    embedding. Stateless, so it plugs into SACAgent/SACLearner exactly
+    like ActorCriticMLP — all ``get_*`` methods accept arbitrary leading
+    batch dims ([B] rollout and [T, B] training).
+    """
+
+    parametric_distribution_param_size: int
+    n_critics: int = 2
+    head_sizes: Sequence[int] = (256,)
+    conv_dtype: Any = jnp.float32
+    action_dim: Optional[int] = None
+
+    @property
+    def stateless(self) -> bool:
+        return True
+
+    def initial_state(self, batch_size: int):
+        del batch_size
+        return ()
+
+    def setup(self):
+        from seed_rl_tpu.models.atari import AtariConvTorso
+
+        self.torso = AtariConvTorso(dtype=self.conv_dtype, name="torso")
+        self.actor_mlp = _MLP(
+            tuple(self.head_sizes)
+            + (self.parametric_distribution_param_size,),
+            name="actor",
+        )
+        self.q_mlps = [
+            _MLP(tuple(self.head_sizes) + (1,), name=f"q_{i}")
+            for i in range(self.n_critics)
+        ]
+        self.v_mlp = _MLP(tuple(self.head_sizes) + (1,), name="v")
+
+    def _embed(self, observation):
+        # Fold any leading dims into one batch dim for the conv stack.
+        lead = observation.shape[:-3]
+        folded = observation.reshape((-1,) + observation.shape[-3:])
+        emb = self.torso(folded)
+        return emb.reshape(lead + emb.shape[-1:])
+
+    def get_action_params(self, prev_action, env_output, state):
+        del prev_action, state
+        return self.actor_mlp(self._embed(env_output.observation))
+
+    def get_v(self, prev_action, env_output, state):
+        del prev_action, state
+        return jnp.squeeze(
+            self.v_mlp(self._embed(env_output.observation)), axis=-1
+        )
+
+    def get_q(self, prev_action, env_output, state, action):
+        del prev_action, state
+        emb = self._embed(env_output.observation)
+        action = jnp.asarray(action, jnp.float32)
+        if action.ndim < emb.ndim:
+            action = action[..., None]
+        inputs = jnp.concatenate([emb, action], axis=-1)
+        return jnp.concatenate(
+            [critic(inputs) for critic in self.q_mlps], axis=-1
+        )
+
+    def __call__(self, prev_action, env_output, state):
+        """Step/init entry: returns ((action_params, v), state)."""
+        action_params = self.get_action_params(
+            prev_action, env_output, state
+        )
+        v = self.get_v(prev_action, env_output, state)
         action_dim = (
             self.action_dim
             if self.action_dim is not None

@@ -83,7 +83,8 @@ def parse_args(argv=None):
     p.add_argument("--env", required=True,
                    choices=["toy", "toy_memory", "discrete_match",
                             "bit_flipping", "synthetic_atari",
-                            "synthetic_atari_host", "catch", "mujoco",
+                            "synthetic_atari_host", "catch",
+                            "catch_continuous", "mujoco",
                             "atari", "dmlab", "football"],
                    help="synthetic_atari_host = Atari-shaped host gym envs "
                         "(exercises the full host pipeline: thread-pooled "
@@ -300,6 +301,15 @@ def make_env(args):
 
         return (
             envs.BatchedEnv(CatchEnv(), args.num_envs),
+            "device",
+        )
+    if args.env == "catch_continuous":
+        # The SAC visual-curve variant: continuous paddle velocity,
+        # otherwise identical Catch episode structure (envs/catch.py).
+        from seed_rl_tpu.envs.catch import ContinuousCatchEnv
+
+        return (
+            envs.BatchedEnv(ContinuousCatchEnv(), args.num_envs),
             "device",
         )
     if args.env == "synthetic_atari_host":
@@ -1150,7 +1160,15 @@ def main(argv=None):
         import gymnasium as gym
 
         action_dim = 1 if isinstance(space, gym.spaces.Discrete) else None
-        if args.sac_net == "lstm":
+        if args.env in ("catch_continuous", "catch"):
+            from seed_rl_tpu.models.sac_nets import VisualActorCritic
+
+            net = VisualActorCritic(
+                parametric_distribution_param_size=dist.param_size,
+                n_critics=2,
+                action_dim=action_dim,
+            )
+        elif args.sac_net == "lstm":
             net = ActorCriticLSTM(
                 parametric_distribution_param_size=dist.param_size,
                 n_critics=2,
