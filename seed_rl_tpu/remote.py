@@ -343,6 +343,7 @@ def run_remote_offpolicy_learner(
     max_train_batches_per_cycle: Optional[int] = None,
     unroll_timeout: float = 300.0,
     stats_sink=None,
+    replay_dir: Optional[str] = None,
 ):
     """Off-policy remote training: R2D2/SAC served to external actor fleets.
 
@@ -391,6 +392,12 @@ def run_remote_offpolicy_learner(
     )
     if checkpoint is not None:
         state = checkpoint.restore_or(state)
+    if replay_dir is not None and replay.restore(replay_dir):
+        print(
+            f"Restored replay buffer from {replay_dir}: "
+            f"{replay.num_inserted} items",
+            flush=True,
+        )
     params_holder = {"params": learner.rollout_params(state)}
 
     env_output_specs, action_spec, one_step = _single_env_specs(
@@ -548,9 +555,13 @@ def run_remote_offpolicy_learner(
                 )
                 logger.log(step, metrics, frames=frames)
             if checkpoint is not None:
-                checkpoint.maybe_save(step, state)
+                if checkpoint.maybe_save(step, state):
+                    if replay_dir is not None:
+                        replay.save(replay_dir)
         if checkpoint is not None:
             checkpoint.maybe_save(step, state, force=True)
+            if replay_dir is not None:
+                replay.save(replay_dir)
     finally:
         server.shutdown()
     return state

@@ -1073,6 +1073,7 @@ def main(argv=None):
                 inference_batch_size=args.inference_batch_size,
                 logger=logger,
                 checkpoint=checkpoint,
+                replay_dir=_replay_dir(args),
                 log_every_cycles=args.log_every_steps,
                 config_push={
                     "unroll_length": args.unroll_length,
@@ -1259,6 +1260,7 @@ def main(argv=None):
                 inference_batch_size=args.inference_batch_size,
                 logger=logger,
                 checkpoint=checkpoint,
+                replay_dir=_replay_dir(args),
                 log_every_cycles=args.log_every_steps,
                 config_push={
                     "unroll_length": args.unroll_length,
