@@ -65,7 +65,8 @@ def main():
         t.join(timeout=5)
     dt = time.perf_counter() - t0
     total = sum(counts)
-    reqs, batches = server.stats()
+    s = server.stats
+    reqs, batches = s["total_requests"], s["total_batches"]
     server.shutdown()
     print(
         f"clients={num_clients} batch={batch_size}: {total / dt:,.0f} QPS "

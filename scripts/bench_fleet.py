@@ -28,22 +28,38 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_fleet(actors, envs_per_actor, frames, unroll=20):
+def run_fleet(actors, envs_per_actor, frames, unroll=16, platform=None,
+              run_id=0):
+    # MuJoCo-class fleet (MLP policy, small payloads): the workload shape
+    # of the reference's QPS claim. A conv policy turns this into a
+    # policy-compute benchmark on a 2-CPU box (measured: 18 fps), and the
+    # tunneled TPU adds ~1.6 s per remote execution — neither measures
+    # the data plane.
+    logdir = f"/tmp/seed_rl_tpu/fleet_bench/{platform}_{actors}a_{run_id}"
     cmd = [
         sys.executable, os.path.join(REPO, "deploy", "run_fleet.py"),
-        "--agent=vtrace", "--env=synthetic_atari_host",
+        "--agent=vtrace", "--env=mujoco",
         "--workers=1", f"--actors_per_worker={actors}",
         f"--envs_per_actor={envs_per_actor}",
+        f"--logdir={logdir}",
         "--",
+        "--env_name=HalfCheetah-v5",
         f"--unroll_length={unroll}",
         f"--total_environment_frames={frames}",
         "--log_every_steps=5",
     ]
+    env = dict(os.environ)
+    if platform:
+        # platform="cpu" measures the transport + batcher + policy
+        # pipeline without the tunneled TPU's ~1.6 s per-execution
+        # round-trip (measured round 4; a host-attached chip serves an
+        # inference batch in single-digit ms, the relay cannot).
+        env["JAX_PLATFORMS"] = platform
     t_first_step = None
     frames_first = 0
     proc = subprocess.Popen(
         cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        text=True, cwd=REPO,
+        text=True, cwd=REPO, env=env,
     )
     for line in proc.stdout:
         m = re.search(r"step=\d+ frames=(\d+)", line)
@@ -68,19 +84,26 @@ def main():
         if len(sys.argv) > 2
         else [1, 2, 4]
     )
+    platform = os.environ.get("FLEET_BENCH_PLATFORM", "cpu")
     envs_per_actor = 8
     # Warm the compile cache so measured runs exclude XLA builds.
-    run_fleet(1, envs_per_actor, frames=4000)
-    for actors in counts:
-        fps, elapsed = run_fleet(actors, envs_per_actor, frames)
+    run_fleet(1, envs_per_actor, frames=4000, platform=platform)
+    for i, actors in enumerate(counts):
+        fps, elapsed = run_fleet(
+            actors, envs_per_actor, frames, platform=platform,
+            run_id=i + 1,
+        )
         print(
             json.dumps(
                 {
                     "metric": "fleet_env_frames_per_sec",
+                    "platform": platform,
                     "actors": actors,
                     "envs_per_actor": envs_per_actor,
                     "value": round(fps, 1),
-                    "calls_per_sec": round(fps / envs_per_actor, 1),
+                    # One transport call per env frame (actors issue
+                    # concurrent per-env calls), so inference QPS == fps.
+                    "inference_qps": round(fps, 1),
                     "window_secs": round(elapsed, 1),
                 }
             ),

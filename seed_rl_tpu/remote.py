@@ -613,6 +613,11 @@ def run_actor(
                 env_id_offset=env_id_offset,
                 timer_export_fn=timer_export_fn,
                 max_reconnects=0,
+                # Concurrent per-env calls need one connection per pool
+                # thread (SocketClient is one-call-at-a-time).
+                client_factory=lambda: RemoteActorClient(
+                    server_address, connect_timeout=connect_timeout
+                ),
             )
             return steps_done
         except (RuntimeError, ConnectionError, OSError):
