@@ -57,15 +57,23 @@ def run_fleet(actors, envs_per_actor, frames, unroll=16, platform=None,
         env["JAX_PLATFORMS"] = platform
     t_first_step = None
     frames_first = 0
+    total_batches = 0
     proc = subprocess.Popen(
         cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True, cwd=REPO, env=env,
     )
+    line_frames = 0
     for line in proc.stdout:
         m = re.search(r"step=\d+ frames=(\d+)", line)
         if m and t_first_step is None:
             t_first_step = time.perf_counter()
             frames_first = int(m.group(1))
+        b = re.search(r"server/total_batches=(\d+)", line)
+        if m and b:
+            # frames and batches from the SAME line: cumulative at the
+            # same instant, so their ratio is the exact mean fill.
+            line_frames = int(m.group(1))
+            total_batches = int(b.group(1))
     proc.wait()
     t_end = time.perf_counter()
     if proc.returncode != 0 or t_first_step is None:
@@ -74,7 +82,9 @@ def run_fleet(actors, envs_per_actor, frames, unroll=16, platform=None,
             f"saw_step={t_first_step is not None}"
         )
     elapsed = t_end - t_first_step
-    return (frames - frames_first) / elapsed, elapsed
+    # Mean batcher fill (occupancy): env frames == inference items.
+    occupancy = line_frames / total_batches if total_batches else None
+    return (frames - frames_first) / elapsed, elapsed, occupancy
 
 
 def main():
@@ -89,7 +99,7 @@ def main():
     # Warm the compile cache so measured runs exclude XLA builds.
     run_fleet(1, envs_per_actor, frames=4000, platform=platform)
     for i, actors in enumerate(counts):
-        fps, elapsed = run_fleet(
+        fps, elapsed, occupancy = run_fleet(
             actors, envs_per_actor, frames, platform=platform,
             run_id=i + 1,
         )
@@ -104,6 +114,9 @@ def main():
                     # One transport call per env frame (actors issue
                     # concurrent per-env calls), so inference QPS == fps.
                     "inference_qps": round(fps, 1),
+                    "batcher_mean_fill": (
+                        round(occupancy, 1) if occupancy else None
+                    ),
                     "window_secs": round(elapsed, 1),
                 }
             ),
