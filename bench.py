@@ -155,7 +155,13 @@ def bench_r2d2():
     from seed_rl_tpu.models.atari import DuelingLSTMDQNNet
     from seed_rl_tpu.rollout import RolloutEngine
 
-    num_envs, unroll, burn_in, calls = 256, 80, 40, 8
+    # 640 envs = the reference cloud config's true fleet size (32 workers
+    # x 20 envs, gcp/train_atari.sh:24-111). Larger env batches amortize
+    # the per-step rollout cost: measured 447k fps at 256 envs vs 618k at
+    # 640 on the same chip (round 4). The HBM replay stands in for the
+    # reference's 100k-unroll host-RAM buffer (measured separately by
+    # scripts/soak_r2d2_replay.py at full scale).
+    num_envs, unroll, burn_in, calls = 640, 80, 40, 8
     num_actions = 18
     env = BatchedEnv(SyntheticAtariEnv(num_actions=num_actions), num_envs)
     net = DuelingLSTMDQNNet(
@@ -166,7 +172,7 @@ def bench_r2d2():
     config = r2d2.R2D2Config(
         n_steps=5,
         burn_in=burn_in,
-        replay_buffer_size=512,
+        replay_buffer_size=1280,
         replay_buffer_min_size=8,
         batch_size=64,
         update_target_every_n_step=2500,
