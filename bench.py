@@ -339,7 +339,10 @@ def bench_ppo_atari():
     from seed_rl_tpu.ops.running_statistics import AverageMeanStd
     from seed_rl_tpu.rollout import RolloutEngine
 
-    num_envs, unroll_length, steps_per_call, calls = 256, 32, 1, 8
+    # 512 envs = the measured single-chip optimum for this workload
+    # (round-4 sweep: 256 -> 203k, 512 -> 237k, 1024 -> 231k fps); the
+    # reference has no canonical visual-PPO env count (gin-composed).
+    num_envs, unroll_length, steps_per_call, calls = 512, 32, 1, 8
     num_actions = 18
     env = BatchedEnv(SyntheticAtariEnv(num_actions=num_actions), num_envs)
     dist = pd.CategoricalDistribution(num_actions)
