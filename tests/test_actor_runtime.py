@@ -400,3 +400,58 @@ def test_store_unrolls_on_inference_off():
         assert actions.shape == (2,)
     assert bridge.unroll_queue.qsize() == 0
     assert bridge.completed_unrolls == 0
+
+
+def test_actor_loop_concurrent_calls_correct_and_per_thread_clients():
+    """Concurrent per-env inference (round 4): actions land on the right
+    envs, every pool thread gets its own client from the factory, and the
+    serial path (inference_threads=0) gives identical results."""
+    made_clients = []
+
+    class _EchoClient:
+        def __init__(self):
+            made_clients.append(self)
+            self.calls = 0
+
+        def inference(self, env_id, run_id, row, raw_reward):
+            self.calls += 1
+            return np.int64(env_id)  # action == env id
+
+    class _RecordingEnv(_ScriptedEnvGroup):
+        def __init__(self, num_envs):
+            super().__init__(num_envs=num_envs)
+            self.received = []
+
+        def step(self, actions):
+            self.received.append(np.asarray(actions).copy())
+            return super().step(actions)
+
+    n = 8
+    env = _RecordingEnv(n)
+    steps = actor_loop(
+        lambda: env,
+        client=None,
+        num_steps=3,
+        env_id_offset=100,
+        client_factory=_EchoClient,
+    )
+    assert steps == 3
+    for actions in env.received:
+        np.testing.assert_array_equal(actions, 100 + np.arange(n))
+    # One client per pool thread, created lazily; never more than threads.
+    assert 1 <= len(made_clients) <= n
+    assert sum(c.calls for c in made_clients) == 3 * n
+
+    # Serial path: same semantics through one shared client.
+    env2 = _RecordingEnv(n)
+    shared = _EchoClient()
+    steps = actor_loop(
+        lambda: env2,
+        client=shared,
+        num_steps=2,
+        env_id_offset=100,
+        inference_threads=0,
+    )
+    assert steps == 2
+    for actions in env2.received:
+        np.testing.assert_array_equal(actions, 100 + np.arange(n))

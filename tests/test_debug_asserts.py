@@ -112,3 +112,8 @@ def test_valid_path_passes_with_asserts_on(asserts_enabled):
                 jnp.array([jnp.nan]),
             )[0]
         )(corrupted)
+
+
+import pytest as _pytest_tiering  # noqa: E402
+
+pytestmark = _pytest_tiering.mark.critical
