@@ -35,6 +35,11 @@ round-over-round tracking figure, not a parity claim.
    40k/chip anchor (SEED paper DmLab number), i.e. the apples-to-apples
    vs_baseline line.
 
+6. ``sac_visual_catch_env_frames_per_sec_per_chip`` — visual SAC on the
+   real on-device Catch env (shared conv encoder, 4 torso passes per
+   train batch at replay ratio 4). Net-new workload class (the reference
+   has no visual SAC); vs_baseline is tracking-only.
+
 Methodology: iterations chain through a donated train state; one host fetch
 per measurement window (the axon relay charges ~20ms per fetch round-trip
 and does not reliably block in block_until_ready). Each workload is
@@ -384,6 +389,54 @@ def bench_ppo_atari():
     _emit("ppo_atari_env_frames_per_sec_per_chip", fps, spread)
 
 
+def bench_sac_visual():
+    """Visual SAC on the real on-device Catch env (round 4).
+
+    The fourth agent family's throughput line: ContinuousCatchEnv (a
+    REAL visual-control env inside the jitted rollout, not synthetic
+    frames) through VisualActorCritic — shared Nature-DQN conv encoder +
+    actor/V/2 Q heads, so each train batch runs ~4 torso passes fwd+bwd.
+    The reference has no visual SAC at all; vs_baseline is a
+    round-over-round tracking figure for this net-new workload class.
+    """
+    from seed_rl_tpu import distributions as pd
+    from seed_rl_tpu.agents import sac
+    from seed_rl_tpu.envs import BatchedEnv
+    from seed_rl_tpu.envs.catch import ContinuousCatchEnv
+    from seed_rl_tpu.models.sac_nets import VisualActorCritic
+    from seed_rl_tpu.rollout import RolloutEngine
+
+    num_envs, unroll, calls = 128, 2, 8
+    env = BatchedEnv(ContinuousCatchEnv(), num_envs)
+    dist = pd.get_parametric_distribution_for_action_space(env.action_space)
+    net = VisualActorCritic(
+        parametric_distribution_param_size=dist.param_size,
+        n_critics=2,
+        conv_dtype=jnp.bfloat16,
+    )
+    agent = sac.SACAgent(net, dist)
+    config = sac.SACConfig(
+        batch_size=256,
+        train_batches_per_step=4,
+        replay_buffer_size=4096,
+        replay_buffer_min_size=8,
+        unroll_length=unroll,
+        polyak=0.995,
+    )
+    engine = RolloutEngine(env, agent, unroll)
+    learner = sac.SACLearner(
+        engine, agent, config,
+        optax.chain(optax.clip_by_global_norm(40.0), optax.adam(3e-4)),
+    )
+    state = jax.jit(learner.init)(jax.random.PRNGKey(0))
+    warmup = jax.jit(learner.warmup_step, donate_argnums=0)
+    while int(state.replay.num_inserted) < config.replay_buffer_min_size:
+        state = warmup(state)
+    run = jax.jit(lambda s: learner.train_many(s, 4), donate_argnums=0)
+    fps, spread = _measure(run, state, 4 * num_envs * unroll, calls)
+    _emit("sac_visual_catch_env_frames_per_sec_per_chip", fps, spread)
+
+
 def bench_scaling():
     """Weak-scaling efficiency across real chips (skipped single-chip).
 
@@ -436,6 +489,7 @@ def main():
     bench_r2d2()
     bench_dmlab_vtrace()
     bench_ppo_atari()
+    bench_sac_visual()
     bench_ppo()
     bench_scaling()
 
