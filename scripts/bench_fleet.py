@@ -56,8 +56,10 @@ def run_fleet(actors, envs_per_actor, frames, unroll=16, platform=None,
         # inference batch in single-digit ms, the relay cannot).
         env["JAX_PLATFORMS"] = platform
     t_first_step = None
+    t_last_step = None
     frames_first = 0
-    total_batches = 0
+    frames_last = 0
+    total_batches = 0.0
     proc = subprocess.Popen(
         cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True, cwd=REPO, env=env,
@@ -65,26 +67,44 @@ def run_fleet(actors, envs_per_actor, frames, unroll=16, platform=None,
     line_frames = 0
     for line in proc.stdout:
         m = re.search(r"step=\d+ frames=(\d+)", line)
-        if m and t_first_step is None:
-            t_first_step = time.perf_counter()
-            frames_first = int(m.group(1))
-        b = re.search(r"server/total_batches=(\d+)", line)
+        if m:
+            # Window = first..last training log line, so learner/actor
+            # teardown (reconnect backoff, thread joins) after the final
+            # frame does not deflate the fps.
+            if t_first_step is None:
+                t_first_step = time.perf_counter()
+                frames_first = int(m.group(1))
+            t_last_step = time.perf_counter()
+            frames_last = int(m.group(1))
+        # NOTE: the logger prints metric values with {:.4g}, so
+        # total_batches appears as e.g. '1.234e+04' past 10k — parse as
+        # float, not (\d+).
+        b = re.search(r"server/total_batches=([0-9.e+]+)", line)
         if m and b:
             # frames and batches from the SAME line: cumulative at the
-            # same instant, so their ratio is the exact mean fill.
+            # same instant, so their ratio is the exact mean fill (to
+            # the logger's 4 significant digits).
             line_frames = int(m.group(1))
-            total_batches = int(b.group(1))
+            total_batches = float(b.group(1))
     proc.wait()
-    t_end = time.perf_counter()
+    t_proc_end = time.perf_counter()
     if proc.returncode != 0 or t_first_step is None:
         raise RuntimeError(
             f"fleet run failed rc={proc.returncode} "
             f"saw_step={t_first_step is not None}"
         )
-    elapsed = t_end - t_first_step
+    if frames_last > frames_first:
+        elapsed = t_last_step - t_first_step
+        moved = frames_last - frames_first
+    else:
+        # Only one throttled console line landed (short run): fall back
+        # to the process-exit window. Includes teardown — use a frame
+        # budget large enough for >= 2 log lines (>60 s) for clean fps.
+        elapsed = t_proc_end - t_first_step
+        moved = frames - frames_first
     # Mean batcher fill (occupancy): env frames == inference items.
     occupancy = line_frames / total_batches if total_batches else None
-    return (frames - frames_first) / elapsed, elapsed, occupancy
+    return moved / elapsed, elapsed, occupancy
 
 
 def main():

@@ -40,7 +40,12 @@ from seed_rl_tpu.ops.popart import PopArt
 from seed_rl_tpu.ops.running_statistics import AverageMeanStd
 from seed_rl_tpu.rollout import RolloutEngine
 
-NUM_ENVS = 256
+# 256 envs = the shape of the published round-4 decomposition table
+# (RESULTS.md). bench.py's conv-PPO line later moved to its measured
+# 512-env optimum; override PPO_PROFILE_ENVS to decompose that shape.
+import os as _os
+
+NUM_ENVS = int(_os.environ.get("PPO_PROFILE_ENVS", "256"))
 UNROLL = 32
 FRAMES = NUM_ENVS * UNROLL
 

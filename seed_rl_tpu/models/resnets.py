@@ -101,6 +101,9 @@ class ImpalaDeep(nn.Module):
             torso = nn.remat(torso)
         # Fixed scope name: remat(...) must not change the param tree, so
         # params swap freely between remat and stored-activation nets.
+        # (This renamed the scope from the flax auto-name
+        # "ImpalaResNetTorso_0"; checkpoints saved before the rename need
+        # a key remap to restore.)
         conv_out = torso(dtype=self.dtype, name="torso")(
             env_output.observation
         )

@@ -178,7 +178,14 @@ class HostReplayBuffer:
         multi-GB uint8 arrays without a copy), ``meta.npz`` with
         priorities/cursors, and the pickled item treedef. The write goes to
         ``directory + '.tmp'`` first and is renamed into place, so a crash
-        mid-save leaves the previous snapshot intact.
+        mid-save leaves the previous snapshot intact (possibly parked at
+        ``<dir>.old``, which restore() falls back to).
+
+        Cost note: the save runs synchronously in the caller (the
+        training driver) and holds the lock for the disk write — at soak
+        scale (~83 GiB) that is minutes of stalled training per snapshot.
+        Pick ``--save_checkpoint_secs`` accordingly; the reference has no
+        persistence at any cost (RAM-only buffer).
         """
         assert self._prefetch_thread is None, "quiesce prefetch before save"
         tmp = directory + ".tmp"
@@ -203,17 +210,34 @@ class HostReplayBuffer:
                     pickle.dump(self._treedef, f)
                 for i, leaf in enumerate(self._storage):
                     np.save(os.path.join(tmp, f"leaf_{i}.npy"), leaf)
-        if os.path.exists(directory):
+        # Two renames instead of delete-then-rename: a crash at any point
+        # leaves either the old snapshot (still named ``directory`` or
+        # parked at ``.old``) or the complete new one — never nothing.
+        old = directory + ".old"
+        if os.path.exists(old):
             import shutil
 
-            shutil.rmtree(directory)
+            shutil.rmtree(old)
+        if os.path.exists(directory):
+            os.rename(directory, old)
         os.rename(tmp, directory)
+        if os.path.exists(old):
+            import shutil
+
+            shutil.rmtree(old)
 
     def restore(self, directory: str) -> bool:
         """Loads a ``save()`` snapshot; returns False if none exists."""
         meta_path = os.path.join(directory, "meta.npz")
         if not os.path.exists(meta_path):
-            return False
+            # A crash between save()'s two renames parks the previous
+            # snapshot at ``<dir>.old`` — fall back to it.
+            old = directory + ".old"
+            if os.path.exists(os.path.join(old, "meta.npz")):
+                directory = old
+                meta_path = os.path.join(old, "meta.npz")
+            else:
+                return False
         assert self._prefetch_thread is None
         meta = np.load(meta_path)
         if int(meta["size"]) != self.size:

@@ -486,6 +486,7 @@ def actor_loop(
     while True:
         pool = None
         tls = _threading.local()
+        made_clients = []
         try:
             # Adopt the learner's pushed config before building envs
             # (reference update_config at actor.py:75).
@@ -507,6 +508,7 @@ def actor_loop(
                 c = getattr(tls, "client", None)
                 if c is None:
                     c = tls.client = client_factory()
+                    made_clients.append(c)
                 return c
 
             def _call(i, out):
@@ -532,16 +534,25 @@ def actor_loop(
                     output = env.step(np.stack(actions))
                 steps_done += 1
             env.close()
-            if pool is not None:
-                pool.shutdown(wait=False)
             return steps_done
         except RuntimeError:
-            if pool is not None:
-                pool.shutdown(wait=False)
             reconnects += 1
             if reconnects > max_reconnects:
                 raise
             continue
+        finally:
+            # Every exit path (return, RuntimeError retry, transport
+            # errors propagating to run_actor's reconnect loop) releases
+            # the pool threads and the per-thread connections — leaking
+            # them across reconnect iterations would pile up blocked
+            # threads and open sockets.
+            if pool is not None:
+                pool.shutdown(wait=False, cancel_futures=True)
+            for c in made_clients:
+                try:
+                    c.close()
+                except Exception:
+                    pass
 
 
 class BridgeClient:

@@ -41,12 +41,36 @@ def enabled() -> bool:
     return _ENABLED
 
 
+_WARNED_UNFUNCTIONALIZED = False
+
+
 def check(pred: Any, msg: str, **fmt_kwargs) -> None:
-    """Contract point: no-op (traced away) unless debug asserts are on."""
+    """Contract point: no-op (traced away) unless debug asserts are on.
+
+    Active checks require the enclosing program to be compiled through
+    ``checkify_jit``. When a plain ``jax.jit`` path (DistributedLearner,
+    --run_mode=profile) traces an enabled check, checkify raises at trace
+    time; rather than crash those paths we degrade to a no-op with a
+    one-time warning, so --debug_asserts guards the single-host fused
+    loops (which are checkify_jit-compiled) without disabling the rest.
+    """
     if _ENABLED:
         from jax.experimental import checkify
 
-        checkify.check(pred, msg, **fmt_kwargs)
+        try:
+            checkify.check(pred, msg, **fmt_kwargs)
+        except ValueError:
+            global _WARNED_UNFUNCTIONALIZED
+            if not _WARNED_UNFUNCTIONALIZED:
+                _WARNED_UNFUNCTIONALIZED = True
+                import warnings
+
+                warnings.warn(
+                    "--debug_asserts: a contract check was traced inside "
+                    "a non-checkified jit (multi-chip/profile path); the "
+                    "check is skipped there. Contract checks are active "
+                    "on the checkify_jit-compiled single-host loops."
+                )
 
 
 def checkify_jit(fn: Callable, **jit_kwargs) -> Callable:
