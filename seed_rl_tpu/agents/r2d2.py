@@ -194,6 +194,25 @@ def initial_priorities(config: "R2D2Config", items: StoredUnroll):
         lambda t: t[config.burn_in:], (env_outputs, agent_outputs)
     )
     env_suffix, agent_suffix = suffix
+    if config.target == "retrace":
+        # ADVICE r4: insertion priorities must use the same error metric
+        # the training loss updates them with, or early sampling is skewed
+        # relative to post-training priorities. Behaviour-net-only, like
+        # the n-step path (online q == target q == behaviour q).
+        from seed_rl_tpu.ops import value_ops
+
+        _, priorities = value_ops.retrace_loss_and_priorities(
+            agent_suffix.q_values,
+            agent_suffix.q_values,
+            agent_suffix.action,
+            agent_suffix.action,
+            env_suffix.reward,
+            env_suffix.done,
+            gamma=config.discounting,
+            lambda_=config.retrace_lambda,
+            rescaling_eps=config.value_function_rescaling_epsilon,
+        )
+        return priorities
     _, priorities = nstep_kernel.td_loss_and_priorities_dispatch(
         agent_suffix.q_values,
         agent_suffix.q_values,

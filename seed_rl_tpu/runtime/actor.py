@@ -547,7 +547,12 @@ def actor_loop(
             # them across reconnect iterations would pile up blocked
             # threads and open sockets.
             if pool is not None:
-                pool.shutdown(wait=False, cancel_futures=True)
+                # Join the workers before closing their clients: a worker
+                # can still be blocked in a socket recv on its per-thread
+                # client, and closing that socket from here would race it
+                # (ADVICE r4). cancel_futures drops queued work; in-flight
+                # calls finish or fail on their own transport error first.
+                pool.shutdown(wait=True, cancel_futures=True)
             for c in made_clients:
                 try:
                     c.close()

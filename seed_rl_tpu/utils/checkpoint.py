@@ -51,15 +51,42 @@ class CheckpointManager:
                 args=ocp.args.StandardRestore(state),
             )
         except ValueError as exc:
-            raise ValueError(
-                "restore-on-start failed: the checkpoint in the logdir has "
-                "a different train-state structure than this run (config/"
-                "optimizer change?). Use a fresh --logdir, delete the stale "
-                "ckpt/ directory, or warm-start params only via "
-                f"--init_checkpoint. Original error: {exc}"
-            ) from exc
+            restored = self._try_migrate(state)
+            if restored is None:
+                raise ValueError(
+                    "restore-on-start failed: the checkpoint in the logdir "
+                    "has a different train-state structure than this run "
+                    "(config/optimizer change?). Use a fresh --logdir, "
+                    "delete the stale ckpt/ directory, or warm-start params "
+                    "only via --init_checkpoint. "
+                    f"Original error: {exc}"
+                ) from exc
         self._last_save = time.time()
         return restored
+
+    def _try_migrate(self, state: Any) -> Optional[Any]:
+        """Retry a failed restore after applying legacy key renames.
+
+        Checkpoints saved before the ImpalaDeep torso scope was pinned to
+        ``"torso"`` carry the flax auto-name ``"ImpalaResNetTorso_0"``
+        (models/resnets.py). Load the stored tree at its own shapes, apply
+        the rename map, and repack into the current state structure;
+        return None if the trees still do not line up.
+        """
+        import jax
+
+        try:
+            step = self._mngr.latest_step()
+            meta = self._mngr.item_metadata(step)
+            template = jax.tree.map(
+                lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype), meta.tree
+            )
+            raw = self._mngr.restore(
+                step, args=ocp.args.StandardRestore(template)
+            )
+            return _repack_saved(state, _apply_key_renames(raw))
+        except (ValueError, KeyError, TypeError, IndexError):
+            return None
 
     def maybe_save(self, step: int, state: Any, force: bool = False) -> bool:
         if self._mngr is None:
@@ -90,6 +117,26 @@ WARM_START_FIELDS = (
     "obs_norm",
     "step",
 )
+
+
+# Module-scope renames applied when a plain restore fails on a structure
+# mismatch: old stored name -> current name. The only entry so far is the
+# ImpalaDeep torso scope pin (models/resnets.py: flax auto-name
+# "ImpalaResNetTorso_0" -> fixed "torso" so remat and stored-activation
+# nets share one param tree).
+_LEGACY_KEY_RENAMES = {"ImpalaResNetTorso_0": "torso"}
+
+
+def _apply_key_renames(tree: Any) -> Any:
+    """Recursively renames dict keys per ``_LEGACY_KEY_RENAMES``."""
+    if isinstance(tree, dict):
+        return {
+            _LEGACY_KEY_RENAMES.get(k, k): _apply_key_renames(v)
+            for k, v in tree.items()
+        }
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(_apply_key_renames(v) for v in tree)
+    return tree
 
 
 def _repack_saved(target: Any, saved: Any) -> Any:
@@ -152,6 +199,7 @@ def restore_from(path: str, state: Any, warm_start_only: bool = True) -> Any:
                 default=ocp.args.StandardRestore(template)
             ),
         )["default"]
+        restored = _apply_key_renames(restored)
         keep = [f for f in state._fields if f in WARM_START_FIELDS]
         result = state._replace(
             **{

@@ -25,10 +25,22 @@ is otherwise silent (a NaN priority poisons the categorical sampler but
 every downstream op still returns numbers).
 """
 
+import contextvars
 import functools
 from typing import Any, Callable
 
 _ENABLED = False
+
+# True only while a function wrapped by ``checkify_jit`` is being traced.
+# ``check()`` consults this so that a contract point traced by a PLAIN
+# ``jax.jit`` (DistributedLearner multichip path, --run_mode=profile)
+# never emits a checkify primitive there — emitting one would crash at
+# lowering time ("Cannot abstractly evaluate a checkify.check"), and that
+# error surfaces outside any try/except around the emit site. Tracing is
+# synchronous, so a dynamic flag scoped to the traced call is exact.
+_IN_CHECKIFY: contextvars.ContextVar = contextvars.ContextVar(
+    "seed_rl_tpu_in_checkify", default=False
+)
 
 
 def enable(on: bool = True) -> None:
@@ -49,17 +61,17 @@ def check(pred: Any, msg: str, **fmt_kwargs) -> None:
 
     Active checks require the enclosing program to be compiled through
     ``checkify_jit``. When a plain ``jax.jit`` path (DistributedLearner,
-    --run_mode=profile) traces an enabled check, checkify raises at trace
-    time; rather than crash those paths we degrade to a no-op with a
-    one-time warning, so --debug_asserts guards the single-host fused
-    loops (which are checkify_jit-compiled) without disabling the rest.
+    --run_mode=profile) traces an enabled check, we degrade to a no-op
+    with a one-time warning instead of emitting a checkify primitive that
+    plain jit cannot lower, so --debug_asserts guards the single-host
+    fused loops without crashing the rest.
     """
     if _ENABLED:
-        from jax.experimental import checkify
+        if _IN_CHECKIFY.get():
+            from jax.experimental import checkify
 
-        try:
             checkify.check(pred, msg, **fmt_kwargs)
-        except ValueError:
+        else:
             global _WARNED_UNFUNCTIONALIZED
             if not _WARNED_UNFUNCTIONALIZED:
                 _WARNED_UNFUNCTIONALIZED = True
@@ -81,8 +93,16 @@ def checkify_jit(fn: Callable, **jit_kwargs) -> Callable:
         return jax.jit(fn, **jit_kwargs)
     from jax.experimental import checkify
 
+    @functools.wraps(fn)
+    def traced(*args, **kwargs):
+        token = _IN_CHECKIFY.set(True)
+        try:
+            return fn(*args, **kwargs)
+        finally:
+            _IN_CHECKIFY.reset(token)
+
     checked = jax.jit(
-        checkify.checkify(fn, errors=checkify.user_checks), **jit_kwargs
+        checkify.checkify(traced, errors=checkify.user_checks), **jit_kwargs
     )
 
     @functools.wraps(fn)

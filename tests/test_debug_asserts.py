@@ -60,6 +60,26 @@ def test_empty_buffer_sample_trips_check(asserts_enabled):
         sample(state, jax.random.PRNGKey(0))
 
 
+def test_plain_jit_with_asserts_enabled_does_not_raise(asserts_enabled):
+    """ADVICE r4 (medium): a plain ``jax.jit`` (DistributedLearner
+    multichip path, --run_mode=profile) tracing an ENABLED contract check
+    must degrade to a warning, not crash at trace/lowering time."""
+    replay, state = _replay_and_state()
+    bad = jnp.array([jnp.nan, 1.0])
+    step = jax.jit(  # plain jit, NOT checkify_jit
+        lambda s: replay.insert(s, {"x": jnp.zeros((2, 3))}, bad)[0]
+    )
+    out = step(state)  # check is skipped there; no trace-time ValueError
+    assert int(out.num_inserted) == 2
+
+    # ...and the checkified path in the SAME process still catches it.
+    checked = debug_asserts.checkify_jit(
+        lambda s: replay.insert(s, {"x": jnp.zeros((2, 3))}, bad)[0]
+    )
+    with pytest.raises(Exception, match="finite"):
+        checked(state)
+
+
 def test_valid_path_passes_with_asserts_on(asserts_enabled):
     """A healthy fused R2D2 train step runs clean under --debug_asserts
     (the CI exercise of the mode end-to-end)."""

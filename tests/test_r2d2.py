@@ -68,6 +68,53 @@ def test_epsilon_ladder_matches_reference():
     np.testing.assert_allclose(eps, want, rtol=1e-5)
 
 
+def test_initial_priorities_use_retrace_kernel_when_configured():
+    """ADVICE r4: with target='retrace', insertion priorities must come
+    from the Retrace error metric, not the n-step TD kernel, so early
+    sampling matches the post-training priority updates."""
+    from seed_rl_tpu.ops import value_ops
+
+    nstep = _make_learner(target="nstep")
+    retr = _make_learner(target="retrace")
+    state = jax.jit(nstep.warmup_step)(jax.jit(nstep.init)(
+        jax.random.PRNGKey(0)
+    ))
+
+    # Pull the just-inserted unrolls back out of the buffer and compare
+    # both kernels' priorities for them.
+    _, _, items = nstep.replay.sample(
+        state.replay, jax.random.PRNGKey(1), 8,
+        nstep.config.priority_exponent,
+    )
+    p_nstep = r2d2.initial_priorities(nstep.config, items)
+    p_retr = r2d2.initial_priorities(retr.config, items)
+    assert p_nstep.shape == p_retr.shape
+    assert not np.allclose(np.asarray(p_nstep), np.asarray(p_retr))
+
+    # And the retrace path is exactly the behaviour-only retrace kernel.
+    tm = jax.tree.map(
+        lambda t: jnp.swapaxes(t, 0, 1),
+        (items.env_outputs, items.agent_outputs),
+    )
+    env_sfx, agent_sfx = jax.tree.map(
+        lambda t: t[retr.config.burn_in:], tm
+    )
+    _, want = value_ops.retrace_loss_and_priorities(
+        agent_sfx.q_values,
+        agent_sfx.q_values,
+        agent_sfx.action,
+        agent_sfx.action,
+        env_sfx.reward,
+        env_sfx.done,
+        gamma=retr.config.discounting,
+        lambda_=retr.config.retrace_lambda,
+        rescaling_eps=retr.config.value_function_rescaling_epsilon,
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_retr), np.asarray(want), rtol=1e-6
+    )
+
+
 def test_warmup_fills_buffer_training_envs_only():
     learner = _make_learner(num_envs=8, num_eval_envs=2)
     state = jax.jit(learner.init)(jax.random.PRNGKey(0))

@@ -101,6 +101,41 @@ def test_vtrace_learner_loop_with_checkpoint(tmp_path):
     ckpt2.close()
 
 
+def test_checkpoint_legacy_torso_scope_migrates(tmp_path):
+    """ADVICE r4: checkpoints saved before the ImpalaDeep torso scope was
+    pinned to "torso" stored the flax auto-name "ImpalaResNetTorso_0";
+    restore_or must remap instead of failing on the mismatched tree."""
+    from typing import NamedTuple
+
+    from seed_rl_tpu.utils.checkpoint import CheckpointManager
+
+    class S(NamedTuple):
+        params: dict
+        step: jnp.ndarray
+
+    w = jnp.arange(6.0).reshape(2, 3)
+    old = S(
+        params={"ImpalaResNetTorso_0": {"Conv_0": {"kernel": w}}},
+        step=jnp.asarray(3),
+    )
+    ckpt = CheckpointManager(str(tmp_path), save_checkpoint_secs=1e9)
+    assert ckpt.maybe_save(3, old, force=True)
+    ckpt.close()
+
+    new_template = S(
+        params={"torso": {"Conv_0": {"kernel": jnp.zeros((2, 3))}}},
+        step=jnp.asarray(0),
+    )
+    ckpt2 = CheckpointManager(str(tmp_path), save_checkpoint_secs=1e9)
+    restored = ckpt2.restore_or(new_template)
+    ckpt2.close()
+    assert int(restored.step) == 3
+    np.testing.assert_allclose(
+        np.asarray(restored.params["torso"]["Conv_0"]["kernel"]),
+        np.asarray(w),
+    )
+
+
 def test_vtrace_lstm_variant_trains_one_step():
     learner = _make_learner(num_envs=8, unroll_length=6, lstm=True)
     state = learner.init(jax.random.PRNGKey(0))
