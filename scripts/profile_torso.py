@@ -12,13 +12,20 @@ T, B = 32, 1024
 FRAMES = T * B
 
 
+def _fetch(out):
+    # The axon relay does not reliably block in block_until_ready
+    # (bench.py methodology note); force completion with a scalar read.
+    leaf = jax.tree.leaves(out)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)) * 0 + 1)
+
+
 def timeit(name, fn, *args, iters=30):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch(out)
     dt = (time.perf_counter() - t0) / iters
     print(f"{name:44s} {dt * 1e3:8.2f} ms ({FRAMES / dt / 1e3:6.0f}k fps)",
           flush=True)

@@ -114,21 +114,60 @@ class SACAgent:
     def initial_state(self, batch_size):
         return self.net.initial_state(batch_size)
 
-    def action_params(self, params, prev_action, env_output, state):
+    @property
+    def has_shared_embedding(self) -> bool:
+        """True for nets with a shared observation encoder (conv torso).
+
+        For those nets the loss precomputes the embedding ONCE per
+        parameter set and the actor/V/Q heads reuse it — without this the
+        conv torso runs (and backprops) once per head call, ~3x the
+        necessary conv work per trained sample (measured round 5 on the
+        visual-Catch bench).
+        """
+        return hasattr(self.net, "get_embedding")
+
+    def embed(self, params, prev_action, env_output, state):
+        """Precompute the net's shared embedding (None if unsupported)."""
+        if not self.has_shared_embedding:
+            return None
+        env_output = self._normalized(params, env_output)
+        return self.net.apply(
+            self._net_params(params), prev_action, env_output, state,
+            method=self.net.get_embedding,
+        )
+
+    def action_params(self, params, prev_action, env_output, state,
+                      embedding=None):
+        if embedding is not None:
+            return self.net.apply(
+                self._net_params(params), embedding,
+                method=self.net.get_action_params_from_embedding,
+            )
         env_output = self._normalized(params, env_output)
         return self.net.apply(
             self._net_params(params), prev_action, env_output, state,
             method=self.net.get_action_params,
         )
 
-    def v(self, params, prev_action, env_output, state):
+    def v(self, params, prev_action, env_output, state, embedding=None):
+        if embedding is not None:
+            return self.net.apply(
+                self._net_params(params), embedding,
+                method=self.net.get_v_from_embedding,
+            )
         env_output = self._normalized(params, env_output)
         return self.net.apply(
             self._net_params(params), prev_action, env_output, state,
             method=self.net.get_v,
         )
 
-    def q(self, params, prev_action, env_output, state, action):
+    def q(self, params, prev_action, env_output, state, action,
+          embedding=None):
+        if embedding is not None:
+            return self.net.apply(
+                self._net_params(params), embedding, action,
+                method=self.net.get_q_from_embedding,
+            )
         env_output = self._normalized(params, env_output)
         return self.net.apply(
             self._net_params(params), prev_action, env_output, state, action,
@@ -255,24 +294,42 @@ def compute_loss(
     sample_rng, entropy_rng, next_rng, next_entropy_rng = jax.random.split(
         rng, 4
     )
-    action_params = agent.action_params(net_params, *inputs)
+    # Shared-encoder nets (VisualActorCritic): compute each parameter
+    # set's embedding ONCE and reuse it across the actor/V/Q head calls
+    # below. Without this the conv torso runs — and backprops — once per
+    # head call (~3x the necessary conv work per trained sample, measured
+    # round 5). ``emb_in`` is None for nets without a shared encoder, and
+    # every head call then takes its original path.
+    emb_in = agent.embed(net_params, *inputs)
+
+    action_params = agent.action_params(
+        net_params, *inputs, embedding=emb_in
+    )
     action = dist.sample(action_params, sample_rng)
     entropy = (
         dist.entropy(action_params, entropy_rng)
         if dist.reparametrizable
         else dist.entropy(action_params)
     )
-    v = agent.v(net_params, *inputs)
+    v = agent.v(net_params, *inputs, embedding=emb_in)
 
     logp_action = dist.log_prob(action_params, action)
-    q_action = agent.q(net_params, *inputs, jax.lax.stop_gradient(action))
+    q_action = agent.q(
+        net_params, *inputs, jax.lax.stop_gradient(action), embedding=emb_in
+    )
     min_q = jnp.min(q_action, axis=-1)
     actor_objective = min_q - sg_alpha * logp_action
 
     if dist.reparametrizable:
         # DDPG-style pathwise gradient: d(min Q)/d(action) at the sample.
+        # The embedding is a constant wrt the action, so the inner grad
+        # only backprops through the Q heads.
         def min_q_sum(a):
-            q = agent.q(net_params, *inputs, a)
+            q = agent.q(
+                net_params, *inputs, a,
+                embedding=jax.lax.stop_gradient(emb_in)
+                if emb_in is not None else None,
+            )
             return jnp.sum(jnp.min(q, axis=-1))
 
         grad_action = jax.grad(min_q_sum)(jax.lax.stop_gradient(action))
@@ -291,11 +348,20 @@ def compute_loss(
     v_loss = jnp.mean(jnp.square(v_error))
 
     # Q-function loss on behaviour actions.
-    q_old_action = agent.q(net_params, *inputs, agent_actions[:-1])
+    q_old_action = agent.q(
+        net_params, *inputs, agent_actions[:-1], embedding=emb_in
+    )
     if config.bootstrap_net == "q":
-        next_action_params = agent.action_params(net_params, *target_inputs)
+        emb_online_full = agent.embed(net_params, *target_inputs)
+        emb_target_full = agent.embed(target_net_params, *target_inputs)
+        next_action_params = agent.action_params(
+            net_params, *target_inputs, embedding=emb_online_full
+        )
         next_action = dist.sample(next_action_params, next_rng)
-        next_q = agent.q(target_net_params, *target_inputs, next_action)[1:]
+        next_q = agent.q(
+            target_net_params, *target_inputs, next_action,
+            embedding=emb_target_full,
+        )[1:]
         next_q = jnp.min(next_q, axis=-1)
         next_entropy = (
             dist.entropy(next_action_params, next_entropy_rng)
@@ -304,7 +370,10 @@ def compute_loss(
         )[1:]
         next_v = next_q + sg_alpha * next_entropy
     elif config.bootstrap_net == "v":
-        next_v = agent.v(target_net_params, *target_inputs)[1:]
+        next_v = agent.v(
+            target_net_params, *target_inputs,
+            embedding=agent.embed(target_net_params, *target_inputs),
+        )[1:]
     else:
         raise ValueError(config.bootstrap_net)
 

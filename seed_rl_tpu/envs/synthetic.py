@@ -105,6 +105,25 @@ class SyntheticDmLabEnv(SyntheticAtariEnv):
         )
 
 
+class SyntheticFootballEnv(SyntheticAtariEnv):
+    """SMM-shaped bit-packed frames: [72, 96, 1] uint16 (the reference's
+    wire format, football/observation.py:22-63), 19-action discrete set.
+    The GFootball resnet unpacks the planes on device, so a rollout over
+    these frames measures the full unpack + 4-stack-resnet data path."""
+
+    def __init__(self, num_actions: int = 19, episode_length: int = 500):
+        super().__init__(num_actions, (72, 96), episode_length)
+
+    def observation_spec(self):
+        h, w = self.frame_shape
+        return jax.ShapeDtypeStruct((h, w, 1), jnp.uint16)
+
+    def _obs(self, state):
+        h, w = self.frame_shape
+        row = jax.lax.broadcasted_iota(jnp.int32, (h, w, 1), 0)
+        return ((row + state.t + state.seed) % 65535).astype(jnp.uint16)
+
+
 class SyntheticAtariGymEnv(gym.Env):
     """Host-process twin of ``SyntheticAtariEnv`` (gymnasium API).
 

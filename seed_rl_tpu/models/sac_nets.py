@@ -173,6 +173,29 @@ class VisualActorCritic(nn.Module):
         emb = self.torso(folded)
         return emb.reshape(lead + emb.shape[-1:])
 
+    def get_embedding(self, prev_action, env_output, state):
+        """Shared conv embedding, computed once and reused by all heads
+        (SACAgent.embed / the ``embedding=`` head kwargs). Re-running the
+        torso per head call costs ~3x the necessary conv work per trained
+        sample — measured round 5 on the visual-Catch bench."""
+        del prev_action, state
+        return self._embed(env_output.observation)
+
+    def get_action_params_from_embedding(self, emb):
+        return self.actor_mlp(emb)
+
+    def get_v_from_embedding(self, emb):
+        return jnp.squeeze(self.v_mlp(emb), axis=-1)
+
+    def get_q_from_embedding(self, emb, action):
+        action = jnp.asarray(action, jnp.float32)
+        if action.ndim < emb.ndim:
+            action = action[..., None]
+        inputs = jnp.concatenate([emb, action], axis=-1)
+        return jnp.concatenate(
+            [critic(inputs) for critic in self.q_mlps], axis=-1
+        )
+
     def get_action_params(self, prev_action, env_output, state):
         del prev_action, state
         return self.actor_mlp(self._embed(env_output.observation))
@@ -185,13 +208,8 @@ class VisualActorCritic(nn.Module):
 
     def get_q(self, prev_action, env_output, state, action):
         del prev_action, state
-        emb = self._embed(env_output.observation)
-        action = jnp.asarray(action, jnp.float32)
-        if action.ndim < emb.ndim:
-            action = action[..., None]
-        inputs = jnp.concatenate([emb, action], axis=-1)
-        return jnp.concatenate(
-            [critic(inputs) for critic in self.q_mlps], axis=-1
+        return self.get_q_from_embedding(
+            self._embed(env_output.observation), action
         )
 
     def __call__(self, prev_action, env_output, state):

@@ -140,6 +140,52 @@ def test_continuous_catch_mechanics():
     assert total == 2.0, total
 
 
+def test_visual_sac_shared_embedding_matches_per_head_torso():
+    """The shared-embedding head path (one conv pass reused by actor/V/Q)
+    must produce exactly the per-head-torso outputs — the r5 perf
+    restructure may not change the math."""
+    from seed_rl_tpu import distributions as pd
+    from seed_rl_tpu.agents import sac
+    from seed_rl_tpu.envs.catch import ContinuousCatchEnv
+    from seed_rl_tpu.models.sac_nets import VisualActorCritic
+    from seed_rl_tpu.types import EnvOutput
+
+    env = BatchedEnv(ContinuousCatchEnv(rows=6, cols=6, cell_pixels=7), 3)
+    dist = pd.get_parametric_distribution_for_action_space(env.action_space)
+    net = VisualActorCritic(
+        parametric_distribution_param_size=dist.param_size,
+        n_critics=2, head_sizes=(16,),
+    )
+    agent = sac.SACAgent(net, dist)
+    assert agent.has_shared_embedding
+    rng = jax.random.PRNGKey(0)
+    _, env_output = env.reset(rng)
+    prev_action = jnp.zeros((3, 1), jnp.float32)
+    params = agent.init_params(rng, prev_action, env_output)
+    state = ()
+    action = jnp.full((3, 1), 0.3, jnp.float32)
+
+    emb = agent.embed(params, prev_action, env_output, state)
+    assert emb is not None
+    np.testing.assert_allclose(
+        np.asarray(agent.action_params(
+            params, prev_action, env_output, state, embedding=emb)),
+        np.asarray(agent.action_params(
+            params, prev_action, env_output, state)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(agent.v(
+            params, prev_action, env_output, state, embedding=emb)),
+        np.asarray(agent.v(params, prev_action, env_output, state)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(agent.q(
+            params, prev_action, env_output, state, action, embedding=emb)),
+        np.asarray(agent.q(
+            params, prev_action, env_output, state, action)),
+    )
+
+
 def test_visual_sac_forward_and_train_step():
     """VisualActorCritic plugs into the fused SACLearner over
     ContinuousCatchEnv frames (shapes + a finite train step)."""
