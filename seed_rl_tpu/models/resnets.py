@@ -17,21 +17,31 @@ import jax
 import jax.numpy as jnp
 
 from seed_rl_tpu.models.core import lstm_initial_state, reset_state_where_done
+from seed_rl_tpu.ops.pooling import max_pool_same
 
 
 class ResidualStack(nn.Module):
-    """Conv + maxpool downscale followed by residual conv blocks."""
+    """Conv + maxpool downscale followed by residual conv blocks.
+
+    ``custom_pool_bwd=True`` (default) computes the pool through
+    ``ops.pooling.max_pool_same`` — forward-identical to ``nn.max_pool``
+    but with a dense custom VJP instead of XLA's SelectAndScatter
+    (measured 1.7x faster torso backward on v5e, bit-identical values up
+    to fp add order; see ops/pooling.py).
+    """
 
     num_ch: int
     num_blocks: int
     dtype: jnp.dtype = jnp.float32
+    custom_pool_bwd: bool = True
 
     @nn.compact
     def __call__(self, x):
         x = nn.Conv(self.num_ch, (3, 3), padding="SAME", dtype=self.dtype)(x)
-        x = nn.max_pool(
-            x, (3, 3), strides=(2, 2), padding="SAME"
-        )
+        if self.custom_pool_bwd:
+            x = max_pool_same(x, (3, 3), (2, 2))
+        else:
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
         for i in range(self.num_blocks):
             block_input = x
             x = nn.relu(x)
@@ -53,12 +63,18 @@ class ImpalaResNetTorso(nn.Module):
     out_features: int = 256
     dtype: jnp.dtype = jnp.float32
     kernel_init: Any = nn.initializers.lecun_normal()
+    custom_pool_bwd: bool = True
 
     @nn.compact
     def __call__(self, frame):
         x = frame.astype(self.dtype) / 255.0
         for num_ch, num_blocks in self.stack_config:
-            x = ResidualStack(num_ch, num_blocks, dtype=self.dtype)(x)
+            x = ResidualStack(
+                num_ch,
+                num_blocks,
+                dtype=self.dtype,
+                custom_pool_bwd=self.custom_pool_bwd,
+            )(x)
         x = nn.relu(x)
         x = x.reshape(x.shape[:-3] + (-1,))
         x = nn.relu(
@@ -86,6 +102,7 @@ class ImpalaDeep(nn.Module):
     lstm_size: int = 256
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    custom_pool_bwd: bool = True
 
     @property
     def stateless(self) -> bool:
@@ -104,9 +121,11 @@ class ImpalaDeep(nn.Module):
         # (This renamed the scope from the flax auto-name
         # "ImpalaResNetTorso_0"; checkpoints saved before the rename need
         # a key remap to restore.)
-        conv_out = torso(dtype=self.dtype, name="torso")(
-            env_output.observation
-        )
+        conv_out = torso(
+            dtype=self.dtype,
+            custom_pool_bwd=self.custom_pool_bwd,
+            name="torso",
+        )(env_output.observation)
         clipped_reward = jnp.clip(env_output.reward, -1.0, 1.0)[..., None]
         torso_out = jnp.concatenate(
             [

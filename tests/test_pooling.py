@@ -1,0 +1,129 @@
+"""ops/pooling.max_pool_same vs nn.max_pool: forward bytes and backward
+values (incl. tie-breaking) must match XLA's reduce_window /
+SelectAndScatter exactly."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seed_rl_tpu.ops.pooling import max_pool_same
+
+
+def _ref_pool(x, window=(3, 3), strides=(2, 2)):
+    return nn.max_pool(x, window, strides=strides, padding="SAME")
+
+
+SHAPES = [
+    (3, 72, 96, 4),   # DmLab stack0 (even dims, asymmetric pad)
+    (2, 36, 48, 8),
+    (2, 9, 12, 3),    # odd dims
+    (1, 5, 5, 1),
+]
+
+
+@pytest.mark.critical
+@pytest.mark.parametrize("shape", SHAPES)
+def test_forward_matches_reduce_window(shape):
+    x = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(max_pool_same(x)), np.asarray(_ref_pool(x))
+    )
+
+
+@pytest.mark.critical
+@pytest.mark.parametrize("shape", SHAPES)
+def test_backward_matches_select_and_scatter(shape):
+    rng = jax.random.PRNGKey(1)
+    x = jax.random.normal(rng, shape, jnp.float32)
+    ct_shape = jax.eval_shape(_ref_pool, x).shape
+    ct = jax.random.normal(jax.random.PRNGKey(2), ct_shape, jnp.float32)
+
+    def loss_custom(x):
+        return jnp.vdot(max_pool_same(x), ct)
+
+    def loss_ref(x):
+        return jnp.vdot(_ref_pool(x), ct)
+
+    g_custom = jax.grad(loss_custom)(x)
+    g_ref = jax.grad(loss_ref)(x)
+    # An input that wins multiple windows accumulates its cotangent in a
+    # different order than SelectAndScatter — identical up to fp add
+    # reassociation.
+    np.testing.assert_allclose(
+        np.asarray(g_custom), np.asarray(g_ref), rtol=1e-6, atol=1e-6
+    )
+
+
+@pytest.mark.critical
+def test_backward_tie_breaking_matches():
+    # Constant inputs: every window is all-ties. SelectAndScatter routes the
+    # cotangent to the FIRST maximal element in row-major window order; the
+    # custom backward must agree element-for-element.
+    for shape in [(1, 6, 6, 1), (1, 7, 9, 2), (2, 72, 96, 3)]:
+        x = jnp.ones(shape, jnp.float32)
+        ct_shape = jax.eval_shape(_ref_pool, x).shape
+        ct = (
+            jax.random.normal(jax.random.PRNGKey(3), ct_shape, jnp.float32)
+            + 2.0
+        )
+        g_custom = jax.grad(lambda x: jnp.vdot(max_pool_same(x), ct))(x)
+        g_ref = jax.grad(lambda x: jnp.vdot(_ref_pool(x), ct))(x)
+        np.testing.assert_array_equal(np.asarray(g_custom), np.asarray(g_ref))
+
+
+def test_quantized_random_ties():
+    # Coarsely-quantized random data: many partial ties inside windows.
+    x = jnp.round(
+        jax.random.normal(jax.random.PRNGKey(4), (4, 36, 48, 8)) * 2
+    ) / 2.0
+    ct_shape = jax.eval_shape(_ref_pool, x).shape
+    ct = jax.random.normal(jax.random.PRNGKey(5), ct_shape, jnp.float32)
+    g_custom = jax.grad(lambda x: jnp.vdot(max_pool_same(x), ct))(x)
+    g_ref = jax.grad(lambda x: jnp.vdot(_ref_pool(x), ct))(x)
+    np.testing.assert_allclose(
+        np.asarray(g_custom), np.asarray(g_ref), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_bfloat16():
+    x = jax.random.normal(
+        jax.random.PRNGKey(6), (2, 72, 96, 16), jnp.bfloat16
+    )
+    np.testing.assert_array_equal(
+        np.asarray(max_pool_same(x)).astype(np.float32),
+        np.asarray(_ref_pool(x)).astype(np.float32),
+    )
+    ct_shape = jax.eval_shape(_ref_pool, x).shape
+    ct = jax.random.normal(jax.random.PRNGKey(7), ct_shape, jnp.bfloat16)
+    g_custom = jax.grad(
+        lambda x: jnp.vdot(max_pool_same(x), ct).astype(jnp.float32)
+    )(x)
+    g_ref = jax.grad(
+        lambda x: jnp.vdot(_ref_pool(x), ct).astype(jnp.float32)
+    )(x)
+    np.testing.assert_allclose(
+        np.asarray(g_custom).astype(np.float32),
+        np.asarray(g_ref).astype(np.float32),
+        rtol=2e-2,  # bf16 add reassociation
+        atol=2e-2,
+    )
+
+
+def test_window_2x2_stride_2():
+    x = jax.random.normal(jax.random.PRNGKey(8), (2, 10, 10, 4))
+    ref = nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")
+    np.testing.assert_array_equal(
+        np.asarray(max_pool_same(x, (2, 2), (2, 2))), np.asarray(ref)
+    )
+    ct = jax.random.normal(jax.random.PRNGKey(9), ref.shape)
+    g_custom = jax.grad(
+        lambda x: jnp.vdot(max_pool_same(x, (2, 2), (2, 2)), ct)
+    )(x)
+    g_ref = jax.grad(
+        lambda x: jnp.vdot(
+            nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME"), ct
+        )
+    )(x)
+    np.testing.assert_array_equal(np.asarray(g_custom), np.asarray(g_ref))
