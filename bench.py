@@ -464,6 +464,16 @@ def bench_sac_visual():
     actor/V/2 Q heads, so each train batch runs ~4 torso passes fwd+bwd.
     The reference has no visual SAC at all; vs_baseline is a
     round-over-round tracking figure for this net-new workload class.
+
+    Round 5: the round-4 config (128 envs, batch 256) was measured to be
+    dispatch-latency-bound — per-stage times summed to 2.7x the fused
+    step (scripts/profile_sac_visual.py). This config is the same
+    workload scaled 4x at IDENTICAL sample-reuse semantics (UTD = 4
+    minibatches x batch / envs = 8 trained frames per env frame, polyak
+    each minibatch): conv batches grow 256->1024 unrolls and the chip
+    saturates at ~2.0M torso-frame-passes/s, above the V-trace Atari
+    line's ~1.7M. Round-4 comparable number at the old shape: 49.7k
+    after the shared-encoder loss landed (35.9k before).
     """
     from seed_rl_tpu import distributions as pd
     from seed_rl_tpu.agents import sac
@@ -472,7 +482,7 @@ def bench_sac_visual():
     from seed_rl_tpu.models.sac_nets import VisualActorCritic
     from seed_rl_tpu.rollout import RolloutEngine
 
-    num_envs, unroll, calls = 128, 2, 8
+    num_envs, unroll, calls = 512, 2, 8
     env = BatchedEnv(ContinuousCatchEnv(), num_envs)
     dist = pd.get_parametric_distribution_for_action_space(env.action_space)
     net = VisualActorCritic(
@@ -482,9 +492,9 @@ def bench_sac_visual():
     )
     agent = sac.SACAgent(net, dist)
     config = sac.SACConfig(
-        batch_size=256,
+        batch_size=1024,
         train_batches_per_step=4,
-        replay_buffer_size=4096,
+        replay_buffer_size=16384,
         replay_buffer_min_size=8,
         unroll_length=unroll,
         polyak=0.995,
