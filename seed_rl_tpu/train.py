@@ -130,6 +130,15 @@ def parse_args(argv=None):
                         "paths (replay index bounds, priority validity) "
                         "via jax.experimental.checkify; compiled out "
                         "entirely when off (SURVEY §5 race-detection row)")
+    p.add_argument("--conv_net", default="auto",
+                   choices=["auto", "atari", "impala_deep"],
+                   help="conv torso for pixel envs under --agent=vtrace: "
+                        "auto picks the env's reference net (Nature-DQN "
+                        "for Atari-class, ImpalaDeep for DmLab); "
+                        "impala_deep forces the DmLab-class deep resnet "
+                        "(reference dmlab/networks.py:63-171) on any "
+                        "pixel env, e.g. --env=catch for a real on-device "
+                        "learning curve with the DmLab net")
     p.add_argument("--remat_torso", action="store_true",
                    help="rematerialize the ImpalaDeep resnet torso in the "
                         "backward pass (jax.checkpoint): ~8x smaller "
@@ -582,8 +591,17 @@ def main(argv=None):
         dist = pd.get_parametric_distribution_for_action_space(
             _action_space_of(env)
         )
-        if args.env in ("synthetic_atari", "synthetic_atari_host", "atari",
-                        "catch"):
+        if (
+            args.conv_net == "impala_deep"
+            and args.env in ("synthetic_atari", "synthetic_atari_host",
+                             "atari", "catch")
+        ):
+            from seed_rl_tpu.models.resnets import ImpalaDeep
+
+            net = ImpalaDeep(num_actions=int(_action_space_of(env).n),
+                             remat=args.remat_torso)
+        elif args.env in ("synthetic_atari", "synthetic_atari_host", "atari",
+                          "catch"):
             net = AtariPolicyNet(
                 parametric_distribution_param_size=dist.param_size,
                 stack_size=4,
