@@ -155,6 +155,11 @@ class GFootball(nn.Module):
     parametric_distribution_param_size: int
     dtype: jnp.dtype = jnp.float32
     unpack_input_bits: bool = True
+    # Measured per-net (A/B, quiet v5e, 256 envs x unroll 32 V-trace):
+    # the dense pool VJP is +11% on ImpalaDeep but -30% on this stateless
+    # 4-stack graph (69.3k -> 48.7k fps; even one custom pool costs 22%),
+    # so each net defaults to its measured winner. See RESULTS.md round 5.
+    custom_pool_bwd: bool = False
 
     @property
     def stateless(self) -> bool:
@@ -177,6 +182,7 @@ class GFootball(nn.Module):
             stack_config=((16, 2), (32, 2), (32, 2), (32, 2)),
             dtype=self.dtype,
             kernel_init=init,
+            custom_pool_bwd=self.custom_pool_bwd,
         )(frame)
         policy_params = nn.Dense(
             self.parametric_distribution_param_size,
