@@ -132,16 +132,28 @@ def _pool_bwd(window, strides, res, ct):
     assert window[0] <= 2 * sh and window[1] <= 2 * sw, (
         "parity-decomposed pool backward assumes window <= 2*stride"
     )
+    # A tap dh maps output row i to in-class row i + (dh - py)//sh, which
+    # can reach OH-1 + (window-1)//stride. Those overflow rows map to
+    # padded positions y >= sh*OH; they carry real gradient only when the
+    # padded input extends past sh*OH on the low-pad side (pl + h >
+    # sh*OH, e.g. window == 2*stride). Extend the grids only then — the
+    # hot resnet case (3x3/2, SAME) keeps exact [OH, OW] grids, which
+    # measure ~7% faster end-to-end (tile-aligned shapes).
+    eh = (window[0] - 1) // sh if pl_h + h > sh * oh else 0
+    ew = (window[1] - 1) // sw if pl_w + w > sw * ow else 0
 
     def shifted(g, rh, rw):
-        # g[a - rh, b - rw] with zero fill (shift down-right by (rh, rw)).
-        if rh == 0 and rw == 0:
+        # g[a - rh, b - rw] on an [OH+eh, OW+ew] grid with zero fill.
+        if rh == 0 and rw == 0 and eh == 0 and ew == 0:
             return g
-        g = jnp.pad(g, ((0, 0), (rh, 0), (rw, 0), (0, 0)))
-        return g[:, :oh, :ow, :]
+        g = jnp.pad(
+            g,
+            ((0, 0), (rh, max(eh - rh, 0)), (rw, max(ew - rw, 0)), (0, 0)),
+        )
+        return g[:, : oh + eh, : ow + ew, :]
 
-    # parities[py][px] = [N, OH, OW, C] grid of grads for padded positions
-    # (sh*i + py, sw*j + px).
+    # parities[py][px] = [N, OH+eh, OW+ew, C] grid of grads for padded
+    # positions (sh*i + py, sw*j + px).
     parities = []
     for py in range(sh):
         row = []
@@ -154,15 +166,18 @@ def _pool_bwd(window, strides, res, ct):
                     g = shifted(g, (dh - py) // sh, (dw - px) // sw)
                     acc = g if acc is None else acc + g
             if acc is None:
-                acc = jnp.zeros((n, oh, ow, c), ct.dtype)
+                acc = jnp.zeros((n, oh + eh, ow + ew, c), ct.dtype)
             row.append(acc)
         parities.append(row)
 
-    # Interleave: [N, OH, sh, OW, sw, C] -> [N, sh*OH, sw*OW, C].
+    # Interleave: [N, OH', sh, OW', sw, C] -> [N, sh*OH', sw*OW', C].
     rows = [
-        jnp.stack(r, axis=3).reshape(n, oh, sw * ow, c) for r in parities
+        jnp.stack(r, axis=3).reshape(n, oh + eh, sw * (ow + ew), c)
+        for r in parities
     ]
-    grad = jnp.stack(rows, axis=2).reshape(n, sh * oh, sw * ow, c)
+    grad = jnp.stack(rows, axis=2).reshape(
+        n, sh * (oh + eh), sw * (ow + ew), c
+    )
 
     # The interleaved grid covers padded rows [0, sh*OH); the padded input
     # spans [0, h + pl + phi). Any uncovered tail rows are SAME padding

@@ -191,3 +191,47 @@ def test_impala_deep_remat_composes_with_custom_pool():
         ),
         g, g_r,
     )
+
+
+@pytest.mark.parametrize("window,strides,shape", [
+    ((3, 3), (3, 3), (2, 9, 12, 4)),    # non-overlapping
+    ((2, 2), (1, 1), (2, 7, 9, 3)),     # overlapping stride-1
+    ((3, 2), (2, 2), (2, 10, 8, 5)),    # asymmetric window
+    ((4, 4), (2, 2), (1, 8, 8, 2)),     # window == 2*stride boundary
+])
+def test_other_window_stride_combos(window, strides, shape):
+    x = jax.random.normal(jax.random.PRNGKey(12), shape)
+    ref = nn.max_pool(x, window, strides=strides, padding="SAME")
+    np.testing.assert_array_equal(
+        np.asarray(max_pool_same(x, window, strides)), np.asarray(ref)
+    )
+    ct = jax.random.normal(jax.random.PRNGKey(13), ref.shape)
+    g_custom = jax.grad(
+        lambda x: jnp.vdot(max_pool_same(x, window, strides), ct)
+    )(x)
+    g_ref = jax.grad(
+        lambda x: jnp.vdot(
+            nn.max_pool(x, window, strides=strides, padding="SAME"), ct
+        )
+    )(x)
+    np.testing.assert_allclose(
+        np.asarray(g_custom), np.asarray(g_ref), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_grad_under_vmap():
+    # vmapped gradients (e.g. per-example grads) must match the reference.
+    xs = jax.random.normal(jax.random.PRNGKey(14), (3, 2, 12, 16, 4))
+    ct = jax.random.normal(jax.random.PRNGKey(15), (2, 6, 8, 4))
+
+    def g_custom(x):
+        return jax.grad(lambda x: jnp.vdot(max_pool_same(x), ct))(x)
+
+    def g_ref(x):
+        return jax.grad(lambda x: jnp.vdot(_ref_pool(x), ct))(x)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.vmap(g_custom)(xs)),
+        np.asarray(jax.vmap(g_ref)(xs)),
+        rtol=1e-6, atol=1e-6,
+    )
